@@ -1,0 +1,60 @@
+"""Framebuffer output: uint8 conversion and PPM/PNG writers.
+
+The reference displays via an SDL2 window (shared/screen/screen.go); headless
+TPU hosts get image-file output instead (the capability-mapping decision in
+SURVEY.md §7.7). PNG encoding is hand-rolled over stdlib zlib to avoid
+imaging dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def to_u8(img) -> np.ndarray:
+    """Float [0,1] (H, W, 3) -> uint8, truncating like colour.go:59-61."""
+    arr = np.asarray(img)
+    return (255.0 * np.clip(arr, 0.0, 1.0)).astype(np.uint8)
+
+
+def write_ppm(path: str, img) -> None:
+    """Binary PPM (P6)."""
+    u8 = to_u8(img) if np.asarray(img).dtype != np.uint8 else np.asarray(img)
+    h, w, _ = u8.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(u8.tobytes())
+
+
+def write_png(path: str, img) -> None:
+    """Minimal RGB8 PNG encoder (stdlib zlib only)."""
+    u8 = to_u8(img) if np.asarray(img).dtype != np.uint8 else np.asarray(img)
+    h, w, _ = u8.shape
+    # Filter byte 0 (None) per scanline.
+    raw = b"".join(b"\x00" + u8[row].tobytes() for row in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(payload)
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """Read back a P6 PPM (for round-trip tests)."""
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"P6"
+        line = f.readline()
+        while line.startswith(b"#"):
+            line = f.readline()
+        w, h = map(int, line.split())
+        assert f.readline().strip() == b"255"
+        data = np.frombuffer(f.read(w * h * 3), dtype=np.uint8)
+    return data.reshape(h, w, 3)

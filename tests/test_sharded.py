@@ -1,0 +1,60 @@
+"""Multi-chip SPMD rendering on the 8-virtual-device CPU mesh.
+
+The JAX analog of the reference's multi-node-on-GCE testing strategy
+(SURVEY.md §4c): sharded output must be bit-identical in structure to the
+single-chip render, since sharding only re-partitions the ray grid.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from distributed_raytracer_tpu.ops.render import render_frame
+from distributed_raytracer_tpu.parallel import render_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return render_sharded.default_mesh(8)
+
+
+def test_sharded_matches_single_chip(tetra_scene, mesh8):
+    arrays = tetra_scene.bake()
+    cam = tetra_scene.camera.to_arrays()
+    w, h = 64, 48
+    single = np.asarray(render_frame(arrays, cam, w, h))
+    render = render_sharded.make_sharded_renderer(w, h, mesh=mesh8)
+    multi = np.asarray(render(arrays, cam))
+    assert multi.shape == (h, w, 3)
+    # Same math, same dtype; only the partition differs.
+    np.testing.assert_allclose(multi, single, atol=1e-6)
+
+
+def test_sharded_odd_sizes(tetra_scene, mesh8):
+    arrays = tetra_scene.bake()
+    cam = tetra_scene.camera.to_arrays()
+    w, h = 53, 31  # not divisible by the device count
+    single = np.asarray(render_frame(arrays, cam, w, h))
+    render = render_sharded.make_sharded_renderer(w, h, mesh=mesh8)
+    multi = np.asarray(render(arrays, cam))
+    np.testing.assert_allclose(multi, single, atol=1e-6)
+
+
+def test_sharded_subset_mesh(tetra_scene):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    arrays = tetra_scene.bake()
+    cam = tetra_scene.camera.to_arrays()
+    mesh = render_sharded.default_mesh(4)
+    render = render_sharded.make_sharded_renderer(40, 30, mesh=mesh)
+    img = np.asarray(render(arrays, cam))
+    assert img.shape == (30, 40, 3)
+    single = np.asarray(render_frame(arrays, cam, 40, 30))
+    np.testing.assert_allclose(img, single, atol=1e-6)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
