@@ -24,6 +24,9 @@ import numpy as np
 def main():
     import jax
 
+    from distributed_raytracer_tpu.utils.jaxtools import enable_compilation_cache
+    enable_compilation_cache()
+
     from distributed_raytracer_tpu.ops.render import render_frame
     from distributed_raytracer_tpu.runtime import animation
     from __graft_entry__ import _example_scene

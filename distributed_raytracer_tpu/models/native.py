@@ -1,0 +1,125 @@
+"""ctypes bindings for the C++ runtime components (native/drt_native.cpp).
+
+The native library provides the host-side hot paths — OBJ/MTL parsing and
+Morton argsort — with the Python implementations (objparse.py, bvh.py) as
+behavioral reference and fallback. The .so is built on demand from the
+checked-in source with the system toolchain; absence of a compiler just
+means the Python path is used.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdrt_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "drt_native.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=300)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native library, building it on first use; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.drt_parse_obj.restype = ctypes.c_void_p
+        lib.drt_parse_obj.argtypes = [ctypes.c_char_p]
+        lib.drt_mesh_error.restype = ctypes.c_char_p
+        lib.drt_mesh_error.argtypes = [ctypes.c_void_p]
+        lib.drt_mesh_counts.argtypes = [ctypes.c_void_p] + [
+            ctypes.POINTER(ctypes.c_int64)] * 4
+        lib.drt_mesh_fill.argtypes = [ctypes.c_void_p] + [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.drt_mesh_free.argtypes = [ctypes.c_void_p]
+        lib.drt_morton_argsort.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def parse_obj(path: str):
+    """Native OBJ parse -> MeshData; raises if the library is unavailable."""
+    from distributed_raytracer_tpu.models.objparse import Material, MeshData
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    handle = lib.drt_parse_obj(path.encode())
+    try:
+        err = lib.drt_mesh_error(handle)
+        if err:
+            raise FileNotFoundError(err.decode())
+        nv = ctypes.c_int64(); nn = ctypes.c_int64()
+        nf = ctypes.c_int64(); nm = ctypes.c_int64()
+        lib.drt_mesh_counts(handle, ctypes.byref(nv), ctypes.byref(nn),
+                            ctypes.byref(nf), ctypes.byref(nm))
+        verts = np.empty((nv.value, 3), np.float64)
+        norms = np.empty((nn.value, 3), np.float64)
+        fv = np.empty((nf.value, 3), np.int32)
+        fn = np.empty((nf.value, 3), np.int32)
+        fmat = np.empty((nf.value,), np.int32)
+        mats = np.empty((nm.value, 10), np.float64)
+        lib.drt_mesh_fill(handle, verts, norms, fv, fn, fmat, mats)
+    finally:
+        lib.drt_mesh_free(handle)
+
+    materials: List[Material] = [
+        Material(ka=tuple(row[0:3]), kd=tuple(row[3:6]),
+                 ks=tuple(row[6:9]), ns=float(row[9]))
+        for row in mats
+    ]
+    return MeshData(vertices=verts, normals=norms, faces_v=fv, faces_n=fn,
+                    face_mat=fmat, materials=materials)
+
+
+def morton_argsort(centroids: np.ndarray) -> Optional[np.ndarray]:
+    """Native Morton argsort of (N, 3) float64 centroids; None if no lib."""
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(centroids, np.float64)
+    order = np.empty((pts.shape[0],), np.int64)
+    lib.drt_morton_argsort(pts, pts.shape[0], order)
+    return order

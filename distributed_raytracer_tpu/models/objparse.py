@@ -112,8 +112,19 @@ def _dedup(arr: np.ndarray, index_arrays: List[np.ndarray]) -> Tuple[np.ndarray,
     return deduped, [remap[ix] for ix in index_arrays]
 
 
-def parse_obj(path: str, mtl_search: bool = True) -> MeshData:
-    """Parse an OBJ file into SoA arrays (semantics of mesh.go:109-213)."""
+def parse_obj(path: str, mtl_search: bool = True, backend: str = "auto") -> MeshData:
+    """Parse an OBJ file into SoA arrays (semantics of mesh.go:109-213).
+
+    backend: "auto" uses the C++ parser (models/native.py) when available,
+    falling back to this Python implementation; "python"/"native" force one.
+    """
+    if backend in ("auto", "native") and mtl_search:
+        from distributed_raytracer_tpu.models import native
+
+        if native.available():
+            return native.parse_obj(path)
+        if backend == "native":
+            raise RuntimeError("native parser requested but unavailable")
     verts: List[Tuple[float, float, float]] = []
     norms: List[Tuple[float, float, float]] = []
     faces_v: List[Tuple[int, int, int]] = []

@@ -196,6 +196,29 @@ class Scene:
         )
 
 
+    @property
+    def num_tris(self) -> int:
+        """Real (unpadded) triangle count across all instances."""
+        return sum(len(self.meshes[o.model].faces_v) for o in self.objects)
+
+    def bake_bvh(self, block_size: int = 128, dtype=np.float32):
+        """bake() + Morton reorder + leaf-block AABBs.
+
+        Returns (SceneArrays in Morton order, BlockBVH). The array analog of
+        building the reference's R-trees at load time (mesh.go:139,
+        environment.go:183).
+        """
+        from distributed_raytracer_tpu.models import bvh as bvh_mod
+
+        arrays = self.bake(dtype=dtype, tri_pad=block_size)
+        order = bvh_mod.morton_order(
+            np.asarray(arrays.p0, np.float64), np.asarray(arrays.e1, np.float64),
+            np.asarray(arrays.e2, np.float64), self.num_tris)
+        arrays = bvh_mod.reorder_scene(arrays, order)
+        tree = bvh_mod.build_block_bvh(arrays, self.num_tris, block_size)
+        return arrays, tree
+
+
 def load_scene(path: str) -> Scene:
     """Load a JSON scene (the EnvironmentFromFile analog, environment.go:162-234)."""
     with open(path, "r") as fh:

@@ -1,0 +1,136 @@
+"""Conservative ray-tile vs triangle-block culling.
+
+The array-program replacement for R-tree traversal predicates
+(shared/geom/box.go:29-69 Box.Intersect driving rtreego SearchCondition):
+instead of per-ray pointer-chasing, rays are grouped into tiles, each tile is
+summarized by componentwise origin/direction intervals, and one *interval
+arithmetic* slab test per (tile, block) conservatively decides whether any
+ray in the tile can hit the block's AABB. False positives cost only wasted
+dense work; false negatives are impossible (the test is conservative), so
+images are exact.
+
+The surviving (tile, block) pairs are compacted into a flat work list — the
+BSR/SpMV schedule consumed by ops/pallas/bsr_trace.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+class TileIntervals(NamedTuple):
+    o_lo: jnp.ndarray   # (nT, 3)
+    o_hi: jnp.ndarray   # (nT, 3)
+    d_lo: jnp.ndarray   # (nT, 3)
+    d_hi: jnp.ndarray   # (nT, 3)
+    t_hi: jnp.ndarray   # (nT,) max t of interest per tile (inf if unbounded)
+
+
+def tile_intervals(origins: jnp.ndarray, dirs: jnp.ndarray, tile: int,
+                   t_max: Optional[jnp.ndarray] = None) -> TileIntervals:
+    """Componentwise bounds of each tile's rays. origins (R,3) or (3,) shared;
+    dirs (R,3); R must be a multiple of `tile`."""
+    r = dirs.shape[0]
+    nt = r // tile
+    d = dirs.reshape(nt, tile, 3)
+    if origins.ndim == 1:
+        o_lo = jnp.broadcast_to(origins[None, :], (nt, 3))
+        o_hi = o_lo
+    else:
+        o = origins.reshape(nt, tile, 3)
+        o_lo, o_hi = o.min(axis=1), o.max(axis=1)
+    t_hi = (jnp.full((nt,), INF) if t_max is None
+            else t_max.reshape(nt, tile).max(axis=1))
+    return TileIntervals(o_lo=o_lo, o_hi=o_hi,
+                         d_lo=d.min(axis=1), d_hi=d.max(axis=1), t_hi=t_hi)
+
+
+def block_mask_with_entry(ti: TileIntervals, block_lo: jnp.ndarray,
+                          block_hi: jnp.ndarray):
+    """Conservative (nTiles, NB) cull with entry distances.
+
+    Per axis, the slab crossing times of every (origin, direction) in the
+    tile's interval hull lie within the interval quotient [A,B]/[d_lo,d_hi];
+    if the direction interval straddles 0 the quotient is (-inf, inf)
+    (fully conservative). A block is kept iff the intersection of the three
+    axis intervals meets [0, t_hi]. Blocks of pure padding have inverted
+    AABBs (+inf, -inf) and never pass.
+
+    Also returns each cell's conservative entry distance (a lower bound on
+    any tile ray's entry into the block AABB) — the front-to-back sort key
+    and early-exit bound for the traversal kernels.
+    """
+    # Shapes: tiles on axis 0, blocks on axis 1, xyz on axis 2.
+    a = block_lo[None, :, :] - ti.o_hi[:, None, :]   # (nT, NB, 3)
+    b = block_hi[None, :, :] - ti.o_lo[:, None, :]
+    d_lo = ti.d_lo[:, None, :]
+    d_hi = ti.d_hi[:, None, :]
+
+    straddle = (d_lo <= 0.0) & (d_hi >= 0.0)
+    # Quotient extremes over the four corner combinations (safe where the
+    # direction interval excludes zero; straddling axes are overridden).
+    q1 = a / jnp.where(d_lo == 0.0, 1.0, d_lo)
+    q2 = a / jnp.where(d_hi == 0.0, 1.0, d_hi)
+    q3 = b / jnp.where(d_lo == 0.0, 1.0, d_lo)
+    q4 = b / jnp.where(d_hi == 0.0, 1.0, d_hi)
+    t_lo_axis = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
+    t_hi_axis = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+    t_lo_axis = jnp.where(straddle, -INF, t_lo_axis)
+    t_hi_axis = jnp.where(straddle, INF, t_hi_axis)
+
+    enter = jnp.maximum(t_lo_axis.max(axis=2), 0.0)
+    exit_ = jnp.minimum(t_hi_axis.min(axis=2), ti.t_hi[:, None])
+    # Degenerate empty slab (a > b cannot happen: lo <= hi and o_lo <= o_hi).
+    return enter <= exit_, enter
+
+
+def block_mask(ti: TileIntervals, block_lo: jnp.ndarray,
+               block_hi: jnp.ndarray) -> jnp.ndarray:
+    """Conservative (nTiles, NB) bool: could any tile ray hit block AABB?"""
+    return block_mask_with_entry(ti, block_lo, block_hi)[0]
+
+
+class WorkList(NamedTuple):
+    tile_ids: jnp.ndarray    # (W,) int32, sorted ascending
+    block_ids: jnp.ndarray   # (W,) int32
+    entry: jnp.ndarray       # (W,) float32 conservative block entry distance
+    count: jnp.ndarray       # () int32 number of real entries (rest repeat the last)
+
+
+def compact_worklist(mask: jnp.ndarray, w_pad: int,
+                     entry: Optional[jnp.ndarray] = None) -> WorkList:
+    """Flatten the (nTiles, NB) mask into a tile-major work list of length
+    w_pad. Within each tile, blocks are ordered front-to-back by `entry`
+    (when given) so the kernels' early-exit bounds bite as soon as possible.
+    Entries past `count` repeat the last real entry (the kernels'
+    min/max-accumulation is idempotent, so replays are harmless no-ops)."""
+    nt, nb = mask.shape
+    flat = mask.reshape(-1)
+    count = flat.sum().astype(jnp.int32)
+    if entry is None:
+        # Stable argsort of (!mask) puts kept cells first in tile-major
+        # order — tile_ids ascend, so output blocks are revisited
+        # consecutively (the Pallas revisiting requirement).
+        order = jnp.argsort(~flat, stable=True).astype(jnp.int32)
+        entry_flat = jnp.zeros_like(flat, jnp.float32)
+    else:
+        entry_flat = entry.reshape(-1)
+        tile_key = jnp.arange(nt * nb, dtype=jnp.int32) // nb
+        # lexsort: last key is primary — kept cells first, then by tile,
+        # then front-to-back by entry distance.
+        order = jnp.lexsort((entry_flat, tile_key, ~flat)).astype(jnp.int32)
+    if w_pad <= order.size:
+        order = order[:w_pad]
+    else:  # tiny scenes: fewer cells than the minimum bucket
+        order = jnp.concatenate(
+            [order, jnp.zeros((w_pad - order.size,), jnp.int32)])
+    # Repeat the last real entry for padding slots.
+    last = order[jnp.maximum(count - 1, 0)]
+    slot = jnp.arange(w_pad, dtype=jnp.int32)
+    cell = jnp.where(slot < count, order, last)
+    return WorkList(tile_ids=cell // nb, block_ids=cell % nb,
+                    entry=entry_flat[cell], count=count)

@@ -95,14 +95,21 @@ def _pair_quantities(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray
     return t, u, v, valid
 
 
-def nearest_hit(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray) -> Hits:
+def nearest_hit(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray,
+                exclude: jnp.ndarray | None = None) -> Hits:
     """Nearest intersection of each ray with the whole triangle soup.
 
     The dense analog of tracer.go:27-50 / object.go:63-110's two-level R-tree
     query: every triangle is tested; the R-tree's pruning role is taken over
     by the block-BVH kernels in ops/pallas (for large scenes).
+
+    `exclude` masks a per-ray triangle (the surface a secondary ray starts
+    on) — the float32 analog of the reference's origin offset (tracer.go:64).
     """
     t, _, _, valid = _pair_quantities(scene, origins, dirs)
+    if exclude is not None:
+        tri_ids = jnp.arange(scene.num_tris, dtype=jnp.int32)[None, :]
+        valid = valid & (tri_ids != exclude[:, None])
     cand = jnp.where(valid, t, INF)
     tri = jnp.argmin(cand, axis=1).astype(jnp.int32)
     tmin = jnp.take_along_axis(cand, tri[:, None], axis=1)[:, 0]

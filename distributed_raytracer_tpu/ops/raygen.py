@@ -24,20 +24,13 @@ from distributed_raytracer_tpu.models.camera import CameraArrays
 
 
 def ray_directions(cam: CameraArrays, width: int, height: int) -> jnp.ndarray:
-    """Normalized primary ray directions, shape (height, width, 3)."""
-    half_w, half_h = width // 2, height // 2
-    phw = jnp.tan(cam.fov / 2.0)
-    phh = phw * (height / width)
+    """Normalized primary ray directions, shape (height, width, 3).
 
-    i = jnp.arange(width, dtype=jnp.float32)
-    j = jnp.arange(height, dtype=jnp.float32)
-    a = phw * ((half_w - i) - 0.5) / half_w    # (W,) coefficient on `left`
-    b = phh * ((half_h - j) - 0.5) / half_h    # (H,) coefficient on `up`
-
-    d = (cam.forward[None, None, :]
-         + a[None, :, None] * cam.left[None, None, :]
-         + b[:, None, None] * cam.up[None, None, :])
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    Delegates to ray_directions_flat so the dense and block-sparse render
+    paths see bit-identical directions (different fp evaluation orders flip
+    edge-pixel hit decisions)."""
+    idx = jnp.arange(width * height, dtype=jnp.int32)
+    return ray_directions_flat(cam, width, height, idx).reshape(height, width, 3)
 
 
 def ray_directions_flat(cam: CameraArrays, width: int, height: int,

@@ -1,0 +1,208 @@
+"""Block-sparse (BVH-culled) frame rendering.
+
+The large-scene path: the dense sweep in ops/render.py does rays x ALL
+triangles; this pipeline first culls (ray-tile, tri-block) pairs with the
+conservative interval test (ops/cull.py) over the Morton block BVH
+(models/bvh.py), then runs only surviving pairs through the Pallas BSR
+kernels (ops/pallas/bsr_trace.py). Images are exact (culling is
+conservative); only the work changes — the TPU equivalent of the
+reference's two-level R-tree pruning (tracer.go:32, object.go:76).
+
+The frame is computed in three jitted stages with two tiny host syncs, which
+size the work lists (power-of-two buckets, so recompiles are rare):
+  stage A: primary rays + primary cull mask -> count
+  stage B: BSR nearest hit + shadow queries + per-light cull masks -> counts
+  stage C: per-light BSR any-hit + Phong accumulation -> frame
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distributed_raytracer_tpu.models.bvh import BlockBVH
+from distributed_raytracer_tpu.models.camera import Camera, CameraArrays
+from distributed_raytracer_tpu.models.scene import Scene, SceneArrays
+from distributed_raytracer_tpu.ops import cull, intersect, raygen, shade
+from distributed_raytracer_tpu.ops.pallas import bsr_trace
+from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(8, int(n - 1).bit_length())
+
+
+class CulledRenderer:
+    """Per-(scene, resolution) renderer instance with cached jit stages."""
+
+    def __init__(self, scene: Scene, width: int, height: int,
+                 cfg: RenderConfig = DEFAULT_CONFIG,
+                 block_size: int = 128, ray_tile: int = 512,
+                 interpret: bool = False):
+        self.width, self.height, self.cfg = width, height, cfg
+        self.rt, self.tb = ray_tile, block_size
+        self.interpret = interpret
+
+        arrays, tree = scene.bake_bvh(block_size=block_size)
+        self.arrays: SceneArrays = jax.device_put(arrays)
+        self.tris_packed = jax.device_put(bsr_trace.pack_tris(arrays))
+        self.block_lo = jnp.asarray(tree.block_lo)
+        self.block_hi = jnp.asarray(tree.block_hi)
+
+        n_rays = width * height
+        self.n_pad = -(-n_rays // ray_tile) * ray_tile
+        self.n_tiles = self.n_pad // ray_tile
+
+        self._stage_a = jax.jit(self._stage_a_fn)
+        self._stage_b_cache = {}
+        self._stage_c_cache = {}
+        self._fused = None          # frozen-bucket fast path
+        self._last_counts = None    # (count, scounts) from the last sync render
+
+    # -- stage A: primary rays + cull ------------------------------------
+
+    def _stage_a_fn(self, cam: CameraArrays):
+        idx = jnp.arange(self.n_pad, dtype=jnp.int32)
+        dirs = raygen.ray_directions_flat(cam, self.width, self.height, idx)
+        ti = cull.tile_intervals(cam.pos, dirs, self.rt)
+        mask, entry = cull.block_mask_with_entry(ti, self.block_lo, self.block_hi)
+        return dirs, mask, entry, mask.sum()
+
+    # -- stage B: nearest hit + shadow masks -----------------------------
+
+    def _stage_b_fn(self, w_pad: int, cam: CameraArrays, dirs, mask, entry):
+        wl = cull.compact_worklist(mask, w_pad, entry=entry)
+        rays = bsr_trace.pack_rays(cam.pos, dirs)
+        no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
+        best_t, best_i = bsr_trace.bsr_nearest(
+            rays, no_excl, self.tris_packed, wl.tile_ids, wl.block_ids,
+            wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pad,
+            interpret=self.interpret)
+        hits = intersect.Hits(t=best_t,
+                              tri=jnp.minimum(best_i, self.arrays.p0.shape[0] - 1),
+                              valid=jnp.isfinite(best_t))
+        prep = shade.prepare(self.arrays, cam.pos, dirs, hits, self.cfg)
+
+        def light_mask(q_origin, q_dir, q_tmax):
+            # Only rays that actually hit something cast shadow rays; collapse
+            # the rest onto a live ray of the same tile so dead queries never
+            # widen the tile intervals (shorter work lists, same image).
+            live = hits.valid
+            rep = self._tile_representative(live)
+            o = jnp.where(live[:, None], q_origin, q_origin[rep])
+            d = jnp.where(live[:, None], q_dir, q_dir[rep])
+            tm = jnp.where(live, q_tmax, 0.0)
+            ti = cull.tile_intervals(o, d, self.rt, t_max=tm)
+            return cull.block_mask_with_entry(ti, self.block_lo, self.block_hi)
+
+        smasks, sentries = jax.vmap(light_mask)(
+            prep.queries.origin, prep.queries.ldir, prep.queries.t_max)
+        return hits, prep, smasks, sentries, smasks.sum(axis=(1, 2))
+
+    def _tile_representative(self, live: jnp.ndarray) -> jnp.ndarray:
+        """Per ray: the index of a live ray in its own tile (itself if none),
+        used to collapse dead shadow queries without inflating tile hulls."""
+        per_tile = live.reshape(self.n_tiles, self.rt)
+        rep_in_tile = jnp.argmax(per_tile, axis=1)  # first live (0 if none)
+        base = jnp.arange(self.n_tiles, dtype=jnp.int32) * self.rt
+        rep = base + rep_in_tile.astype(jnp.int32)
+        return jnp.repeat(rep, self.rt)
+
+    # -- stage C: shadow queries + shading -------------------------------
+
+    def _stage_c_fn(self, w_pads: tuple, cam: CameraArrays, dirs, hits, prep,
+                    smasks, sentries):
+        lit = []
+        n_lights = self.arrays.light_pos.shape[0]
+        for li in range(n_lights):
+            wl = cull.compact_worklist(smasks[li], w_pads[li],
+                                       entry=sentries[li])
+            rays = bsr_trace.pack_rays(prep.queries.origin[li],
+                                       prep.queries.ldir[li],
+                                       prep.queries.t_max[li])
+            hit = bsr_trace.bsr_any(
+                rays, hits.tri, self.tris_packed, wl.tile_ids, wl.block_ids,
+                wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
+                interpret=self.interpret)
+            lit.append(hit == 0)
+        lit = jnp.stack(lit) if lit else jnp.zeros((0, self.n_pad), bool)
+        colours = shade.shade_core(self.arrays, cam.pos, prep, hits, lit)
+        n_rays = self.width * self.height
+        return colours[:n_rays].reshape(self.height, self.width, 3)
+
+    # -- public ----------------------------------------------------------
+
+    def render(self, camera, block: bool = False):
+        """Render a frame; returns a device array (H, W, 3) float32."""
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        dirs, mask, entry, count = self._stage_a(cam)
+        w_pad = _next_pow2(int(count))
+
+        stage_b = self._stage_b_cache.get(w_pad)
+        if stage_b is None:
+            stage_b = jax.jit(functools.partial(self._stage_b_fn, w_pad))
+            self._stage_b_cache[w_pad] = stage_b
+        hits, prep, smasks, sentries, scounts = stage_b(cam, dirs, mask, entry)
+
+        w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
+        stage_c = self._stage_c_cache.get(w_pads)
+        if stage_c is None:
+            stage_c = jax.jit(functools.partial(self._stage_c_fn, w_pads))
+            self._stage_c_cache[w_pads] = stage_c
+        img = stage_c(cam, dirs, hits, prep, smasks, sentries)
+        self._last_counts = (int(count), tuple(int(c) for c in np.asarray(scounts)))
+        if block:
+            jax.block_until_ready(img)
+        return img
+
+    # -- frozen fast path ------------------------------------------------
+    #
+    # The sync render pays two host round trips per frame to size the work
+    # lists exactly. freeze() fixes the buckets (last observed counts x a
+    # safety margin) and fuses all three stages into ONE jitted call with no
+    # syncs — the interactive/benchmark path. Work-list overflow would drop
+    # candidate blocks, so render_fast(verify=True) (or any sync render)
+    # should be used periodically / during warmup to confirm margins hold;
+    # on overflow freeze() is simply called again with the new counts.
+
+    def _full_fn(self, w_pad: int, w_pads: tuple, cam: CameraArrays):
+        dirs, mask, entry, count = self._stage_a_fn(cam)
+        hits, prep, smasks, sentries, scounts = self._stage_b_fn(
+            w_pad, cam, dirs, mask, entry)
+        img = self._stage_c_fn(w_pads, cam, dirs, hits, prep, smasks, sentries)
+        return img, count, scounts
+
+    def freeze(self, camera=None, margin: float = 2.0) -> None:
+        """Fix work-list buckets from the last sync render (running one if
+        needed) and compile the fused no-sync pipeline."""
+        if self._last_counts is None:
+            if camera is None:
+                raise ValueError("freeze() needs a camera for the sizing render")
+            self.render(camera, block=True)
+        count, scounts = self._last_counts
+        w_pad = _next_pow2(int(count * margin))
+        w_pads = tuple(_next_pow2(int(c * margin)) for c in scounts)
+        self._fused = jax.jit(functools.partial(self._full_fn, w_pad, w_pads))
+        self._frozen_pads = (w_pad, w_pads)
+
+    def render_fast(self, camera, verify: bool = False):
+        """One fused dispatch, no host syncs. Returns a device array; with
+        verify=True, blocks to check the frozen buckets still hold (and
+        refreezes + rerenders if they overflowed)."""
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        if self._fused is None:
+            self.freeze(camera)
+        img, count, scounts = self._fused(cam)
+        if verify:
+            w_pad, w_pads = self._frozen_pads
+            c = int(count)
+            sc = tuple(int(x) for x in np.asarray(scounts))
+            if c > w_pad or any(s > wp for s, wp in zip(sc, w_pads)):
+                self._last_counts = (c, sc)
+                self.freeze(camera)
+                img, _, _ = self._fused(cam)
+        return img

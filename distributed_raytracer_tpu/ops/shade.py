@@ -15,9 +15,16 @@ Reproduces worker/shared/tracer/tracer.go:53-77 `phong`:
   - the normal is the smooth interpolated vertex normal, or the flat face
     normal for meshes without normals (object.go:91-96; the flat case is
     handled at bake time by writing the face normal into all vertex slots)
+
+The module is split so the shadow *queries* (ray origins/dirs/tmax) are
+separable from the shadow *answers*: the dense path answers them with
+intersect.any_hit, the block-sparse path with the Pallas BSR any-hit kernel
+(ops/render_bvh.py), both feeding the same accumulation in shade_core.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,62 +35,109 @@ from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
 
 
 def _normalize(v, axis=-1):
-    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+    """Safe normalize: zero vectors (padding-triangle normals gathered for
+    miss rays) stay zero instead of poisoning downstream math with NaNs —
+    miss-ray values feed the shadow-query tile intervals before being
+    discarded, so they must remain finite."""
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.where(n > 0.0, n, 1.0)
 
 
-def shade(scene: SceneArrays, cam_pos: jnp.ndarray, origins: jnp.ndarray,
-          dirs: jnp.ndarray, hits: intersect.Hits,
-          cfg: RenderConfig = DEFAULT_CONFIG) -> jnp.ndarray:
-    """Shade each ray's nearest hit; unhit rays are black (tracer.go:88-90).
+class ShadowQueries(NamedTuple):
+    """Per-light shadow rays for a batch of C shaded points."""
 
-    origins: (3,) shared or (C, 3); dirs: (C, 3); returns (C, 3) float32.
-    """
+    origin: jnp.ndarray   # (L, C, 3) offset shadow-ray origins
+    ldir: jnp.ndarray     # (L, C, 3) unit directions toward each light
+    t_max: jnp.ndarray    # (L, C) blocker range (light distance - offset)
+
+
+class ShadePrep(NamedTuple):
+    x: jnp.ndarray        # (C, 3) hit points
+    normal: jnp.ndarray   # (C, 3) shading normals
+    queries: ShadowQueries
+
+
+def prepare(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray,
+            hits: intersect.Hits, cfg: RenderConfig = DEFAULT_CONFIG) -> ShadePrep:
+    """Hit points, normals, and shadow queries for every ray."""
     t = jnp.where(hits.valid, hits.t, 0.0)  # keep hit-point math finite
-    u, v, x = intersect.barycentrics_at(scene, origins, dirs, t, hits.tri)
+    tri = jnp.maximum(hits.tri, 0)          # clamp miss sentinels for gathers
+    u, v, x = intersect.barycentrics_at(scene, origins, dirs, t, tri)
     r1 = 1.0 - u - v
 
-    n0 = scene.n0[hits.tri]
-    n1 = scene.n1[hits.tri]
-    n2 = scene.n2[hits.tri]
+    n0 = scene.n0[tri]
+    n1 = scene.n1[tri]
+    n2 = scene.n2[tri]
     normal = _normalize(r1[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2)
 
-    mat = scene.mat_id[hits.tri]
+    # Shadow ray per light: origin offset 1e-4 along the light direction
+    # (tracer.go:64) plus a float32-robustness lift along the geometric
+    # normal, signed toward the light's side of the surface — clearance that
+    # does not collapse at grazing light angles (RenderConfig
+    # .shadow_normal_offset; the float64 reference needs no such term).
+    geo = _normalize(scene.geo_n[tri])
+
+    def per_light(lpos):
+        to_light = lpos[None, :] - x
+        ldist = jnp.linalg.norm(to_light, axis=-1)
+        ldir = to_light / ldist[:, None]
+        side = jnp.where(jnp.einsum("cd,cd->c", geo, ldir) >= 0.0, 1.0, -1.0)
+        origin = (x + cfg.shadow_offset * ldir
+                  + (cfg.shadow_normal_offset * side)[:, None] * geo)
+        return origin, ldir, ldist - cfg.shadow_offset
+
+    o, d, tm = jax.vmap(per_light)(scene.light_pos)
+    return ShadePrep(x=x, normal=normal,
+                     queries=ShadowQueries(origin=o, ldir=d, t_max=tm))
+
+
+def shade_core(scene: SceneArrays, cam_pos: jnp.ndarray, prep: ShadePrep,
+               hits: intersect.Hits, lit: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate Phong lighting given per-light lit flags (L, C).
+
+    cam_pos is the viewer position for the specular term — (3,) for primary
+    rays (the camera, tracer.go:66) or (C, 3) per-ray for reflection bounces
+    (the previous hit point)."""
+    x, normal = prep.x, prep.normal
+    tri = jnp.maximum(hits.tri, 0)
+    mat = scene.mat_id[tri]
     ka = scene.mat_ka[mat]
     kd = scene.mat_kd[mat]
     ks = scene.mat_ks[mat]
     ns = scene.mat_ns[mat]
 
-    cam_dir = _normalize(cam_pos[None, :] - x)  # V, toward the camera (tracer.go:66)
+    view = cam_pos[None, :] if cam_pos.ndim == 1 else cam_pos
+    cam_dir = _normalize(view - x)  # V, toward the viewer
 
     def per_light(colour, light):
-        lpos, lcol = light
-        to_light = lpos[None, :] - x
-        ldist = jnp.linalg.norm(to_light, axis=-1)
-        ldir = to_light / ldist[:, None]
-
-        # Shadow ray: origin offset 1e-4 along the light direction
-        # (tracer.go:64) plus a float32-robustness lift along the geometric
-        # normal, signed toward the light's side of the surface — this keeps
-        # clearance from the surface plane at grazing light angles, where
-        # the along-light offset alone collapses and f32 rounding produces
-        # shadow acne (see RenderConfig.shadow_normal_offset).
-        geo = _normalize(scene.geo_n[hits.tri])
-        side = jnp.where(jnp.einsum("cd,cd->c", geo, ldir) >= 0.0, 1.0, -1.0)
-        sh_origin = (x + cfg.shadow_offset * ldir
-                     + (cfg.shadow_normal_offset * side)[:, None] * geo)
-        shadowed = intersect.any_hit(scene, sh_origin, ldir,
-                                     ldist - cfg.shadow_offset,
-                                     exclude=hits.tri)
-
+        ldir, l_lit, lcol = light
         l_dot_n = jnp.einsum("cd,cd->c", ldir, normal)
         diff = jnp.maximum(l_dot_n, 0.0)
         refl = 2.0 * l_dot_n[:, None] * normal - ldir
         spec = jnp.power(jnp.maximum(jnp.einsum("cd,cd->c", refl, cam_dir), 0.0), ns)
-
         contrib = (kd * diff[:, None] + ks * spec[:, None]) * lcol[None, :]
-        lit = jnp.logical_not(shadowed)
-        return colour + jnp.where(lit[:, None], contrib, 0.0), None
+        return colour + jnp.where(l_lit[:, None], contrib, 0.0), None
 
-    colour, _ = jax.lax.scan(per_light, ka, (scene.light_pos, scene.light_col))
+    colour, _ = jax.lax.scan(
+        per_light, ka, (prep.queries.ldir, lit, scene.light_col))
     colour = jnp.minimum(colour, 1.0)  # saturating adds collapsed to one clamp
     return jnp.where(hits.valid[:, None], colour, 0.0)
+
+
+def shade(scene: SceneArrays, cam_pos: jnp.ndarray, origins: jnp.ndarray,
+          dirs: jnp.ndarray, hits: intersect.Hits,
+          cfg: RenderConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """Dense-path shading: answers shadow queries with intersect.any_hit.
+
+    origins: (3,) shared or (C, 3); dirs: (C, 3); returns (C, 3) float32.
+    Unhit rays are black (tracer.go:88-90).
+    """
+    prep = prepare(scene, origins, dirs, hits, cfg)
+
+    def answer(q):
+        origin, ldir, t_max = q
+        return jnp.logical_not(
+            intersect.any_hit(scene, origin, ldir, t_max, exclude=hits.tri))
+
+    lit = jax.lax.map(answer, prep.queries)
+    return shade_core(scene, cam_pos, prep, hits, lit)

@@ -125,6 +125,56 @@ def _phong(soup: _Soup, x, normal, mat, cam_pos, lights_pos, lights_col,
     return colour, np.asarray(lits, dtype=bool)
 
 
+def _radiance(soup: _Soup, o: np.ndarray, d: np.ndarray, cam_pos, lights_pos,
+              lights_col, depth: int, shadow_offset=1e-4):
+    """Whitted radiance for the multi-bounce extension, matching
+    ops/render.py trace_rays_bounced exactly: colour = sum over bounces of
+    (prod of earlier Ks) * phong_b, clamped once at the end. The specular
+    viewer at each bounce is the previous hit point."""
+    colour = np.zeros(3)
+    throughput = np.ones(3)
+    view = cam_pos
+    for _ in range(depth + 1):
+        t, idx, r1, r2, r3 = _trace(soup, o, d)
+        if not np.isfinite(t):
+            break
+        x = o + t * d
+        n = r1 * soup.n0[idx] + r2 * soup.n1[idx] + r3 * soup.n2[idx]
+        n = n / np.linalg.norm(n)
+        local, _ = _phong(soup, x, n, soup.mat[idx], view, lights_pos,
+                          lights_col, shadow_offset)
+        colour = colour + throughput * local
+        throughput = throughput * soup.ks[soup.mat[idx]]
+        if not np.any(throughput > 0.0):
+            break
+        refl = d - 2.0 * float(d @ n) * n
+        refl = refl / np.linalg.norm(refl)
+        view = x
+        o = x + shadow_offset * refl
+        d = refl
+    return np.clip(colour, 0.0, 1.0), True
+
+
+def render_oracle_bounced(scene: Scene, width: int, height: int, depth: int,
+                          camera: Camera | None = None) -> np.ndarray:
+    """Golden image for the multi-bounce extension."""
+    cam = camera if camera is not None else scene.camera
+    soup = _Soup(scene)
+    img = np.zeros((height, width, 3))
+    half_w, half_h = width // 2, height // 2
+    phw = np.tan(cam.fov / 2.0)
+    phh = phw * height / width
+    for j in range(height):
+        for i in range(width):
+            i_off = cam.left * (phw * ((half_w - i) - 0.5) / half_w)
+            j_off = cam.up * (phh * ((half_h - j) - 0.5) / half_h)
+            d = cam.forward + i_off + j_off
+            d = d / np.linalg.norm(d)
+            img[j, i], _ = _radiance(soup, cam.pos, d, cam.pos,
+                                     scene.light_pos, scene.light_col, depth)
+    return img
+
+
 def render_oracle(scene: Scene, width: int, height: int,
                   camera: Camera | None = None, return_aux: bool = False):
     """Render (height, width, 3) float64 golden image, black background.
