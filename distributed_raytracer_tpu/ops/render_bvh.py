@@ -8,11 +8,21 @@ kernels (ops/pallas/bsr_trace.py). Images are exact (culling is
 conservative); only the work changes — the TPU equivalent of the
 reference's two-level R-tree pruning (tracer.go:32, object.go:76).
 
-The frame is computed in three jitted stages with two tiny host syncs, which
+Rays are laid out in 2D screen tiles (cull.tiled_ray_order): compact tiles
+have tight interval hulls, which is what makes the cull effective (2-3%
+retention on the 62K-tri benchmark vs ~50% with row strips).
+
+The frame is computed in three jitted stages with two tiny host syncs that
 size the work lists (power-of-two buckets, so recompiles are rare):
   stage A: primary rays + primary cull mask -> count
   stage B: BSR nearest hit + shadow queries + per-light cull masks -> counts
   stage C: per-light BSR any-hit + Phong accumulation -> frame
+freeze()/render_fast() fuse all three into one dispatch with fixed buckets.
+
+Implementation note: every big array (scene, packed triangles, block AABBs,
+ray permutations) is passed as a jit *argument*, never closed over — jit
+embeds closures as compile-time constants, which blew compile times from
+seconds to minutes at 62K triangles.
 """
 
 from __future__ import annotations
@@ -24,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from distributed_raytracer_tpu.models.bvh import BlockBVH
 from distributed_raytracer_tpu.models.camera import Camera, CameraArrays
 from distributed_raytracer_tpu.models.scene import Scene, SceneArrays
 from distributed_raytracer_tpu.ops import cull, intersect, raygen, shade
@@ -53,8 +62,13 @@ class CulledRenderer:
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
 
-        n_rays = width * height
-        self.n_pad = -(-n_rays // ray_tile) * ray_tile
+        # 2D screen tiles (32 x rt/32 pixels): see module docstring.
+        tile_w = 32
+        perm, inv_real, n_slots = cull.tiled_ray_order(
+            width, height, tile_w, ray_tile // tile_w)
+        self._perm = jax.device_put(jnp.asarray(perm))
+        self._inv_real = jax.device_put(jnp.asarray(inv_real))
+        self.n_pad = n_slots
         self.n_tiles = self.n_pad // ray_tile
 
         self._stage_a = jax.jit(self._stage_a_fn)
@@ -65,27 +79,27 @@ class CulledRenderer:
 
     # -- stage A: primary rays + cull ------------------------------------
 
-    def _stage_a_fn(self, cam: CameraArrays):
-        idx = jnp.arange(self.n_pad, dtype=jnp.int32)
-        dirs = raygen.ray_directions_flat(cam, self.width, self.height, idx)
+    def _stage_a_fn(self, cam: CameraArrays, perm, block_lo, block_hi):
+        dirs = raygen.ray_directions_flat(cam, self.width, self.height, perm)
         ti = cull.tile_intervals(cam.pos, dirs, self.rt)
-        mask, entry = cull.block_mask_with_entry(ti, self.block_lo, self.block_hi)
+        mask, entry = cull.block_mask_with_entry(ti, block_lo, block_hi)
         return dirs, mask, entry, mask.sum()
 
     # -- stage B: nearest hit + shadow masks -----------------------------
 
-    def _stage_b_fn(self, w_pad: int, cam: CameraArrays, dirs, mask, entry):
+    def _stage_b_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
+                    block_lo, block_hi, cam: CameraArrays, dirs, mask, entry):
         wl = cull.compact_worklist(mask, w_pad, entry=entry)
         rays = bsr_trace.pack_rays(cam.pos, dirs)
         no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
         best_t, best_i = bsr_trace.bsr_nearest(
-            rays, no_excl, self.tris_packed, wl.tile_ids, wl.block_ids,
+            rays, no_excl, tris_packed, wl.tile_ids, wl.block_ids,
             wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pad,
             interpret=self.interpret)
         hits = intersect.Hits(t=best_t,
-                              tri=jnp.minimum(best_i, self.arrays.p0.shape[0] - 1),
+                              tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
                               valid=jnp.isfinite(best_t))
-        prep = shade.prepare(self.arrays, cam.pos, dirs, hits, self.cfg)
+        prep = shade.prepare(scene, cam.pos, dirs, hits, self.cfg)
 
         def light_mask(q_origin, q_dir, q_tmax):
             # Only rays that actually hit something cast shadow rays; collapse
@@ -97,7 +111,7 @@ class CulledRenderer:
             d = jnp.where(live[:, None], q_dir, q_dir[rep])
             tm = jnp.where(live, q_tmax, 0.0)
             ti = cull.tile_intervals(o, d, self.rt, t_max=tm)
-            return cull.block_mask_with_entry(ti, self.block_lo, self.block_hi)
+            return cull.block_mask_with_entry(ti, block_lo, block_hi)
 
         smasks, sentries = jax.vmap(light_mask)(
             prep.queries.origin, prep.queries.ldir, prep.queries.t_max)
@@ -114,10 +128,10 @@ class CulledRenderer:
 
     # -- stage C: shadow queries + shading -------------------------------
 
-    def _stage_c_fn(self, w_pads: tuple, cam: CameraArrays, dirs, hits, prep,
-                    smasks, sentries):
+    def _stage_c_fn(self, w_pads: tuple, scene: SceneArrays, tris_packed,
+                    inv_real, cam: CameraArrays, hits, prep, smasks, sentries):
         lit = []
-        n_lights = self.arrays.light_pos.shape[0]
+        n_lights = scene.light_pos.shape[0]
         for li in range(n_lights):
             wl = cull.compact_worklist(smasks[li], w_pads[li],
                                        entry=sentries[li])
@@ -125,35 +139,39 @@ class CulledRenderer:
                                        prep.queries.ldir[li],
                                        prep.queries.t_max[li])
             hit = bsr_trace.bsr_any(
-                rays, hits.tri, self.tris_packed, wl.tile_ids, wl.block_ids,
+                rays, hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
                 wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
                 interpret=self.interpret)
             lit.append(hit == 0)
         lit = jnp.stack(lit) if lit else jnp.zeros((0, self.n_pad), bool)
-        colours = shade.shade_core(self.arrays, cam.pos, prep, hits, lit)
-        n_rays = self.width * self.height
-        return colours[:n_rays].reshape(self.height, self.width, 3)
+        colours = shade.shade_core(scene, cam.pos, prep, hits, lit)
+        # Un-permute tile-major ray slots back into the row-major frame.
+        return colours[inv_real].reshape(self.height, self.width, 3)
 
     # -- public ----------------------------------------------------------
 
     def render(self, camera, block: bool = False):
         """Render a frame; returns a device array (H, W, 3) float32."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
-        dirs, mask, entry, count = self._stage_a(cam)
+        dirs, mask, entry, count = self._stage_a(
+            cam, self._perm, self.block_lo, self.block_hi)
         w_pad = _next_pow2(int(count))
 
         stage_b = self._stage_b_cache.get(w_pad)
         if stage_b is None:
             stage_b = jax.jit(functools.partial(self._stage_b_fn, w_pad))
             self._stage_b_cache[w_pad] = stage_b
-        hits, prep, smasks, sentries, scounts = stage_b(cam, dirs, mask, entry)
+        hits, prep, smasks, sentries, scounts = stage_b(
+            self.arrays, self.tris_packed, self.block_lo, self.block_hi,
+            cam, dirs, mask, entry)
 
         w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
         stage_c = self._stage_c_cache.get(w_pads)
         if stage_c is None:
             stage_c = jax.jit(functools.partial(self._stage_c_fn, w_pads))
             self._stage_c_cache[w_pads] = stage_c
-        img = stage_c(cam, dirs, hits, prep, smasks, sentries)
+        img = stage_c(self.arrays, self.tris_packed, self._inv_real,
+                      cam, hits, prep, smasks, sentries)
         self._last_counts = (int(count), tuple(int(c) for c in np.asarray(scounts)))
         if block:
             jax.block_until_ready(img)
@@ -169,11 +187,14 @@ class CulledRenderer:
     # should be used periodically / during warmup to confirm margins hold;
     # on overflow freeze() is simply called again with the new counts.
 
-    def _full_fn(self, w_pad: int, w_pads: tuple, cam: CameraArrays):
-        dirs, mask, entry, count = self._stage_a_fn(cam)
+    def _full_fn(self, w_pad: int, w_pads: tuple, scene: SceneArrays,
+                 tris_packed, block_lo, block_hi, perm, inv_real,
+                 cam: CameraArrays):
+        dirs, mask, entry, count = self._stage_a_fn(cam, perm, block_lo, block_hi)
         hits, prep, smasks, sentries, scounts = self._stage_b_fn(
-            w_pad, cam, dirs, mask, entry)
-        img = self._stage_c_fn(w_pads, cam, dirs, hits, prep, smasks, sentries)
+            w_pad, scene, tris_packed, block_lo, block_hi, cam, dirs, mask, entry)
+        img = self._stage_c_fn(w_pads, scene, tris_packed, inv_real,
+                               cam, hits, prep, smasks, sentries)
         return img, count, scounts
 
     def freeze(self, camera=None, margin: float = 2.0) -> None:
@@ -196,7 +217,9 @@ class CulledRenderer:
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         if self._fused is None:
             self.freeze(camera)
-        img, count, scounts = self._fused(cam)
+        img, count, scounts = self._fused(
+            self.arrays, self.tris_packed, self.block_lo, self.block_hi,
+            self._perm, self._inv_real, cam)
         if verify:
             w_pad, w_pads = self._frozen_pads
             c = int(count)
@@ -204,5 +227,7 @@ class CulledRenderer:
             if c > w_pad or any(s > wp for s, wp in zip(sc, w_pads)):
                 self._last_counts = (c, sc)
                 self.freeze(camera)
-                img, _, _ = self._fused(cam)
+                img, _, _ = self._fused(
+                    self.arrays, self.tris_packed, self.block_lo,
+                    self.block_hi, self._perm, self._inv_real, cam)
         return img
