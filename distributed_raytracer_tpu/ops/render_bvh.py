@@ -55,6 +55,10 @@ class CulledRenderer:
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
+        # Full-frame height for ray projection; the multi-chip band renderer
+        # overrides this so each band's global pixel indices project with
+        # the whole frame's field of view (parallel/render_sharded_bvh.py).
+        self.raygen_height = height
 
         arrays, tree = scene.bake_bvh(block_size=block_size)
         self.arrays: SceneArrays = jax.device_put(arrays)
@@ -80,7 +84,8 @@ class CulledRenderer:
     # -- stage A: primary rays + cull ------------------------------------
 
     def _stage_a_fn(self, cam: CameraArrays, perm, block_lo, block_hi):
-        dirs = raygen.ray_directions_flat(cam, self.width, self.height, perm)
+        dirs = raygen.ray_directions_flat(cam, self.width, self.raygen_height,
+                                          perm)
         ti = cull.tile_intervals(cam.pos, dirs, self.rt)
         mask, entry = cull.block_mask_with_entry(ti, block_lo, block_hi)
         return dirs, mask, entry, mask.sum()
@@ -147,6 +152,189 @@ class CulledRenderer:
         colours = shade.shade_core(scene, cam.pos, prep, hits, lit)
         # Un-permute tile-major ray slots back into the row-major frame.
         return colours[inv_real].reshape(self.height, self.width, 3)
+
+    # -- multi-bounce stages ---------------------------------------------
+    #
+    # Whitted reflections on the block-sparse path (config 2 of
+    # BASELINE.json; semantics identical to ops/render.py
+    # trace_rays_bounced / the float64 oracle's _radiance). Each bounce is
+    # one more BSR nearest query whose ray set is the previous bounce's
+    # reflections, plus per-light BSR shadow queries; the radiance
+    # accumulates as colour += throughput * phong_b with one final clamp.
+
+    def _reflection_query(self, scene: SceneArrays, prep, hits, dirs):
+        """Reflected rays from the current hits (+ their cull mask)."""
+        cfg = self.cfg
+        n = prep.normal
+        d_dot_n = jnp.einsum("cd,cd->c", dirs, n)
+        refl = dirs - 2.0 * d_dot_n[:, None] * n
+        rlen = jnp.linalg.norm(refl, axis=-1, keepdims=True)
+        refl = refl / jnp.where(rlen > 0, rlen, 1.0)
+        side = jnp.where(jnp.einsum("cd,cd->c", n, refl) >= 0.0, 1.0, -1.0)
+        o = (prep.x + cfg.shadow_offset * refl
+             + (cfg.shadow_normal_offset * side)[:, None] * n)
+        # Dead rays (miss or zero-Ks material) collapse onto a live ray of
+        # their tile so they don't widen the cull hulls.
+        ks = scene.mat_ks[scene.mat_id[jnp.maximum(hits.tri, 0)]]
+        live = hits.valid & jnp.any(ks > 0.0, axis=-1)
+        rep = self._tile_representative(live)
+        o = jnp.where(live[:, None], o, o[rep])
+        d = jnp.where(live[:, None], refl, refl[rep])
+        ti = cull.tile_intervals(o, d, self.rt,
+                                 t_max=jnp.where(live, jnp.inf, 0.0))
+        mask, entry = cull.block_mask_with_entry(ti, self.block_lo, self.block_hi)
+        return o, d, live, mask, entry, mask.sum()
+
+    def _stage_bounce_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
+                         block_lo, block_hi, origins, dirs, exclude,
+                         mask, entry):
+        """Nearest + shadow masks for an arbitrary ray set (origins per-ray
+        or shared); also emits the next bounce's reflection query."""
+        wl = cull.compact_worklist(mask, w_pad, entry=entry)
+        rays = bsr_trace.pack_rays(origins, dirs)
+        best_t, best_i = bsr_trace.bsr_nearest(
+            rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
+            wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pad,
+            interpret=self.interpret)
+        hits = intersect.Hits(t=best_t,
+                              tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
+                              valid=jnp.isfinite(best_t))
+        prep = shade.prepare(scene, origins, dirs, hits, self.cfg)
+
+        def light_mask(q_origin, q_dir, q_tmax):
+            live = hits.valid
+            rep = self._tile_representative(live)
+            o = jnp.where(live[:, None], q_origin, q_origin[rep])
+            d = jnp.where(live[:, None], q_dir, q_dir[rep])
+            tm = jnp.where(live, q_tmax, 0.0)
+            ti = cull.tile_intervals(o, d, self.rt, t_max=tm)
+            return cull.block_mask_with_entry(ti, block_lo, block_hi)
+
+        smasks, sentries = jax.vmap(light_mask)(
+            prep.queries.origin, prep.queries.ldir, prep.queries.t_max)
+        r_o, r_d, r_live, r_mask, r_entry, r_count = self._reflection_query(
+            scene, prep, hits, dirs)
+        return (hits, prep, smasks, sentries, smasks.sum(axis=(1, 2)),
+                r_o, r_d, r_live, r_mask, r_entry, r_count)
+
+    def _stage_shade_fn(self, w_pads: tuple, scene: SceneArrays, tris_packed,
+                        view, hits, prep, smasks, sentries):
+        """Per-light shadow queries + phong for one bounce -> (C, 3) local
+        radiance (not yet throughput-weighted)."""
+        lit = []
+        for li in range(scene.light_pos.shape[0]):
+            wl = cull.compact_worklist(smasks[li], w_pads[li],
+                                       entry=sentries[li])
+            rays = bsr_trace.pack_rays(prep.queries.origin[li],
+                                       prep.queries.ldir[li],
+                                       prep.queries.t_max[li])
+            hit = bsr_trace.bsr_any(
+                rays, hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
+                wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
+                interpret=self.interpret)
+            lit.append(hit == 0)
+        lit = jnp.stack(lit) if lit else jnp.zeros((0, self.n_pad), bool)
+        return shade.shade_core(scene, view, prep, hits, lit)
+
+    def render_bounced(self, camera, depth: int, block: bool = False):
+        """Whitted multi-bounce render on the block-sparse path."""
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        dirs, mask, entry, count = self._stage_a(
+            cam, self._perm, self.block_lo, self.block_hi)
+
+        def jit_for(cache, key, fn, *static):
+            f = cache.get(key)
+            if f is None:
+                f = jax.jit(functools.partial(fn, *static))
+                cache[key] = f
+            return f
+
+        colour = jnp.zeros((self.n_pad, 3), jnp.float32)
+        throughput = jnp.ones((self.n_pad, 3), jnp.float32)
+        origins = cam.pos
+        view = cam.pos
+        exclude = jnp.full((self.n_pad,), -1, jnp.int32)
+        ks_cache = None
+        pads_used = []
+
+        for b in range(depth + 1):
+            w_pad = _next_pow2(int(count))
+            sb = jit_for(self._stage_b_cache, ("bounce", b > 0, w_pad),
+                         self._stage_bounce_fn, w_pad)
+            (hits, prep, smasks, sentries, scounts,
+             r_o, r_d, r_live, r_mask, r_entry, r_count) = sb(
+                self.arrays, self.tris_packed, self.block_lo, self.block_hi,
+                origins, dirs, exclude, mask, entry)
+            w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
+            pads_used.append((w_pad, w_pads))
+            sc = jit_for(self._stage_c_cache, ("shade", b > 0, w_pads),
+                         self._stage_shade_fn, w_pads)
+            local = sc(self.arrays, self.tris_packed, view, hits, prep,
+                       smasks, sentries)
+            ks_cache = self.arrays.mat_ks[
+                self.arrays.mat_id[jnp.maximum(hits.tri, 0)]]
+            colour = colour + throughput * local
+            if b == depth:
+                break
+            throughput = jnp.where(hits.valid[:, None],
+                                   throughput * ks_cache, 0.0)
+            view = prep.x
+            origins, dirs = r_o, r_d
+            exclude = hits.tri
+            mask, entry, count = r_mask, r_entry, int(r_count)
+
+        colour = jnp.clip(colour, 0.0, 1.0)
+        img = colour[self._inv_real].reshape(self.height, self.width, 3)
+        self._last_bounce_pads = tuple(pads_used)
+        if block:
+            jax.block_until_ready(img)
+        return img
+
+    def _full_bounced_fn(self, pads: tuple, scene: SceneArrays, tris_packed,
+                         block_lo, block_hi, perm, inv_real,
+                         cam: CameraArrays):
+        """Fused multi-bounce pipeline with fixed buckets (no host syncs)."""
+        dirs, mask, entry, _ = self._stage_a_fn(cam, perm, block_lo, block_hi)
+        colour = jnp.zeros((self.n_pad, 3), jnp.float32)
+        throughput = jnp.ones((self.n_pad, 3), jnp.float32)
+        origins = cam.pos
+        view = cam.pos
+        exclude = jnp.full((self.n_pad,), -1, jnp.int32)
+        for b, (w_pad, w_pads) in enumerate(pads):
+            (hits, prep, smasks, sentries, _,
+             r_o, r_d, _, r_mask, r_entry, _) = self._stage_bounce_fn(
+                w_pad, scene, tris_packed, block_lo, block_hi,
+                origins, dirs, exclude, mask, entry)
+            local = self._stage_shade_fn(w_pads, scene, tris_packed, view,
+                                         hits, prep, smasks, sentries)
+            ks = scene.mat_ks[scene.mat_id[jnp.maximum(hits.tri, 0)]]
+            colour = colour + throughput * local
+            if b + 1 == len(pads):
+                break
+            throughput = jnp.where(hits.valid[:, None], throughput * ks, 0.0)
+            view = prep.x
+            origins, dirs = r_o, r_d
+            exclude = hits.tri
+            mask, entry = r_mask, r_entry
+        colour = jnp.clip(colour, 0.0, 1.0)
+        return colour[inv_real].reshape(self.height, self.width, 3)
+
+    def freeze_bounced(self, camera, depth: int, margin: float = 2.0):
+        """Fuse the multi-bounce pipeline with buckets sized from one sync
+        render x margin. Returns the fused render function."""
+        self.render_bounced(camera, depth, block=True)
+        pads = tuple(
+            (_next_pow2(int(w * margin)),
+             tuple(_next_pow2(int(c * margin)) for c in wl))
+            for (w, wl) in self._last_bounce_pads)
+        fused = jax.jit(functools.partial(self._full_bounced_fn, pads))
+
+        def render(cam):
+            c = cam.to_arrays() if isinstance(cam, Camera) else cam
+            return fused(self.arrays, self.tris_packed, self.block_lo,
+                         self.block_hi, self._perm, self._inv_real, c)
+
+        return render
 
     # -- public ----------------------------------------------------------
 

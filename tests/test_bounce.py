@@ -46,3 +46,39 @@ def test_bounced_matches_oracle_suzanne(suzanne_scene):
                                           suzanne_scene.camera.to_arrays(),
                                           w, h, depth=1))
     assert np.abs(got - want).mean() < 0.02
+
+
+def test_culled_bounced_matches_dense(suzanne_scene):
+    import jax
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+    interpret = jax.default_backend() != "tpu"
+    w, h = 48, 36
+    r = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
+    dense = np.asarray(render_frame_bounced(r.arrays,
+                                            suzanne_scene.camera.to_arrays(),
+                                            w, h, depth=2))
+    culled = np.asarray(r.render_bounced(suzanne_scene.camera, depth=2))
+    diff = np.abs(culled - dense).max(-1)
+    assert (diff > 2 / 255).mean() < 0.01
+    assert np.abs(culled - dense).mean() < 2e-3
+
+
+def test_culled_bounced_depth0_equals_render(tetra_scene):
+    import jax
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+    interpret = jax.default_backend() != "tpu"
+    r = CulledRenderer(tetra_scene, 48, 36, interpret=interpret)
+    base = np.asarray(r.render(tetra_scene.camera))
+    d0 = np.asarray(r.render_bounced(tetra_scene.camera, depth=0))
+    np.testing.assert_allclose(d0, base, atol=2e-5)
+
+
+def test_culled_bounced_frozen_matches_sync(tetra_scene):
+    import jax
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+    interpret = jax.default_backend() != "tpu"
+    r = CulledRenderer(tetra_scene, 48, 36, interpret=interpret)
+    sync = np.asarray(r.render_bounced(tetra_scene.camera, depth=2))
+    fast = r.freeze_bounced(tetra_scene.camera, depth=2)
+    out = np.asarray(fast(tetra_scene.camera))
+    np.testing.assert_allclose(out, sync, atol=2e-5)

@@ -58,3 +58,42 @@ def test_sharded_subset_mesh(tetra_scene):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_culled_matches_single(suzanne_scene):
+    """Multi-chip block-sparse path == single-chip block-sparse path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+    from distributed_raytracer_tpu.parallel import render_sharded_bvh
+
+    interpret = jax.default_backend() != "tpu"
+    w, h = 64, 48
+    mesh = jax.make_mesh((8,), (render_sharded_bvh.AXIS,))
+    render = render_sharded_bvh.make_sharded_culled_renderer(
+        suzanne_scene, w, h, mesh=mesh, interpret=interpret)
+    multi = render(suzanne_scene.camera)
+    assert multi.shape == (h, w, 3)
+
+    single = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
+    ref = np.asarray(single.render(suzanne_scene.camera))
+    diff = np.abs(multi - ref).max(-1)
+    assert (diff > 2 / 255).mean() < 0.005
+    assert np.abs(multi - ref).mean() < 1e-3
+
+
+def test_sharded_culled_odd_height(tetra_scene):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from distributed_raytracer_tpu.parallel import render_sharded_bvh
+
+    interpret = jax.default_backend() != "tpu"
+    mesh = jax.make_mesh((8,), (render_sharded_bvh.AXIS,))
+    render = render_sharded_bvh.make_sharded_culled_renderer(
+        tetra_scene, 40, 30, mesh=mesh, interpret=interpret)  # 30 % 8 != 0
+    out = render(tetra_scene.camera)
+    assert out.shape == (30, 40, 3)
+    from distributed_raytracer_tpu.ops.render import render_frame
+    dense = np.asarray(render_frame(render.band.arrays,
+                                    tetra_scene.camera.to_arrays(), 40, 30))
+    np.testing.assert_allclose(out, dense, atol=2e-5)
