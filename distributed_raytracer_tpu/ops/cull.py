@@ -31,22 +31,44 @@ class TileIntervals(NamedTuple):
 
 
 def tile_intervals(origins: jnp.ndarray, dirs: jnp.ndarray, tile: int,
-                   t_max: Optional[jnp.ndarray] = None) -> TileIntervals:
+                   t_max: Optional[jnp.ndarray] = None,
+                   live: Optional[jnp.ndarray] = None) -> TileIntervals:
     """Componentwise bounds of each tile's rays. origins (R,3) or (3,) shared;
-    dirs (R,3); R must be a multiple of `tile`."""
+    dirs (R,3); R must be a multiple of `tile`.
+
+    `live` (R,) bool masks rays out of the hull (dead secondary rays — misses,
+    zero-Ks materials). A tile with no live ray gets an inverted (+inf, -inf)
+    hull whose slab quotients are NaN, so every comparison in
+    block_mask_with_entry is False and the tile culls to zero work — no
+    gather/collapse of dead rays onto live ones is needed.
+    """
     r = dirs.shape[0]
     nt = r // tile
     d = dirs.reshape(nt, tile, 3)
+    if live is not None:
+        lv = live.reshape(nt, tile, 1)
+        d_lo = jnp.where(lv, d, INF).min(axis=1)
+        d_hi = jnp.where(lv, d, -INF).max(axis=1)
+    else:
+        d_lo, d_hi = d.min(axis=1), d.max(axis=1)
     if origins.ndim == 1:
         o_lo = jnp.broadcast_to(origins[None, :], (nt, 3))
         o_hi = o_lo
+    elif live is not None:
+        o = origins.reshape(nt, tile, 3)
+        lv = live.reshape(nt, tile, 1)
+        o_lo = jnp.where(lv, o, INF).min(axis=1)
+        o_hi = jnp.where(lv, o, -INF).max(axis=1)
     else:
         o = origins.reshape(nt, tile, 3)
         o_lo, o_hi = o.min(axis=1), o.max(axis=1)
-    t_hi = (jnp.full((nt,), INF) if t_max is None
-            else t_max.reshape(nt, tile).max(axis=1))
-    return TileIntervals(o_lo=o_lo, o_hi=o_hi,
-                         d_lo=d.min(axis=1), d_hi=d.max(axis=1), t_hi=t_hi)
+    if t_max is None:
+        t_hi = jnp.full((nt,), INF)
+    elif live is not None:
+        t_hi = jnp.where(live, t_max, 0.0).reshape(nt, tile).max(axis=1)
+    else:
+        t_hi = t_max.reshape(nt, tile).max(axis=1)
+    return TileIntervals(o_lo=o_lo, o_hi=o_hi, d_lo=d_lo, d_hi=d_hi, t_hi=t_hi)
 
 
 def block_mask_with_entry(ti: TileIntervals, block_lo: jnp.ndarray,

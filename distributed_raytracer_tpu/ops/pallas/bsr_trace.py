@@ -109,9 +109,9 @@ def _pair_math(rays_ref, tris_ref):
     return t, valid, gid_local
 
 
-def _nearest_kernel(tile_ids, block_ids, first, entry, rays_ref, excl_ref,
-                    tris_ref, prev_t_ref, prev_i_ref, out_t_ref, out_i_ref,
-                    *, tb: int):
+def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
+                    excl_ref, tris_ref, prev_t_ref, prev_i_ref, out_t_ref,
+                    out_i_ref, *, tb: int):
     w = pl.program_id(0)
 
     # First step of a tile run: seed the VMEM accumulator from the carry.
@@ -121,13 +121,17 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, rays_ref, excl_ref,
         out_t_ref[:, :] = prev_t_ref[:, :]
         out_i_ref[:, :] = prev_i_ref[:, :]
 
+    # Padding slots (work-list replays past the real count) skip all compute;
+    # their index maps repeat the previous block, so they trigger no DMA
+    # either — a padded-to-pow2 work list costs ~nothing beyond its length.
+    live = w < nreal[0]
     # Front-to-back early exit: the work list sorts each tile's blocks by
     # conservative entry distance, so once every ray's current-best hit is
     # closer than this block's entry, no later block can improve anything.
     # (1e-4 slack guards the f32 interval arithmetic of the bound.)
     worth_it = entry[w] <= jnp.max(out_t_ref[:, :]) + 1e-4
 
-    @pl.when(worth_it)
+    @pl.when(live & worth_it)
     def _():
         t, valid, gid_local = _pair_math(rays_ref, tris_ref)
         gid = block_ids[w] * tb + gid_local
@@ -140,7 +144,7 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, rays_ref, excl_ref,
         out_i_ref[:, :] = jnp.where(better, sel, out_i_ref[:, :])
 
 
-def _any_kernel(tile_ids, block_ids, first, entry, rays_ref, excl_ref,
+def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
                 tris_ref, prev_ref, out_ref, *, tb: int):
     w = pl.program_id(0)
 
@@ -148,12 +152,13 @@ def _any_kernel(tile_ids, block_ids, first, entry, rays_ref, excl_ref,
     def _():
         out_ref[:, :] = prev_ref[:, :]
 
+    live = w < nreal[0]
     # Early exit: once every ray in the tile is shadowed, remaining blocks
     # are no-ops (front-to-back order makes this fire early — near blockers
     # are tested first).
     not_done = jnp.min(out_ref[:, :]) == 0
 
-    @pl.when(not_done)
+    @pl.when(live & not_done)
     def _():
         t, valid, gid_local = _pair_math(rays_ref, tris_ref)
         gid = block_ids[w] * tb + gid_local
@@ -164,14 +169,14 @@ def _any_kernel(tile_ids, block_ids, first, entry, rays_ref, excl_ref,
 
 
 def _grid_spec(w_seg: int, rt: int, tb: int, n_acc: int):
-    def ray_map(w, t_ids, b_ids, first, entry):
+    def ray_map(w, t_ids, b_ids, first, entry, nreal):
         return (0, t_ids[w])
 
-    def tri_map(w, t_ids, b_ids, first, entry):
+    def tri_map(w, t_ids, b_ids, first, entry, nreal):
         return (0, b_ids[w])
 
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(w_seg,),
         in_specs=[
             pl.BlockSpec((8, rt), ray_map),      # rays
@@ -192,7 +197,8 @@ def _segment_first(tile_ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
-                  tile_ids, block_ids, entry, *, rt, tb, w_pad, interpret):
+                  tile_ids, block_ids, entry, count, *, rt, tb, w_pad,
+                  interpret):
     r = rays_packed.shape[1]
     excl2 = exclude[None, :]
     out_shape = tuple(jax.ShapeDtypeStruct((1, r), a.dtype) for a in init)
@@ -205,12 +211,14 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
         b_ids = jax.lax.dynamic_slice(block_ids, (seg_start,), (w_seg,))
         ent = jax.lax.dynamic_slice(entry, (seg_start,), (w_seg,))
         first = _segment_first(t_ids)
+        nreal = jnp.clip(count - seg_start, 0, w_seg).astype(jnp.int32)[None]
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(t_ids, b_ids, first, ent, rays_packed, excl2, tris_packed, *carry)
+        )(t_ids, b_ids, first, ent, nreal, rays_packed, excl2, tris_packed,
+          *carry)
         return outs, None
 
     if n_seg == 1:
@@ -223,30 +231,42 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
 
 @functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret"))
 def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
-                *, rt: int, tb: int, w_pad: int, interpret: bool = False):
+                count=None, *, rt: int, tb: int, w_pad: int,
+                interpret: bool = False):
     """Nearest hit over the work list: (best_t (R,), best_idx (R,)).
 
-    Ray tiles with no work keep the initial miss value (t=inf, idx=BIG_IDX),
-    which is exact — the cull guarantees they hit nothing.
+    Outputs are defined ONLY for ray tiles that appear in the work list —
+    unvisited output blocks are never written (undefined memory). Callers
+    mask by per-tile visited flags (the cull guarantees unvisited tiles hit
+    nothing). `count` = number of real work items; padding slots past it are
+    skipped in-kernel (None = treat all w_pad as real).
     """
     r = rays_packed.shape[1]
+    if count is None:
+        count = jnp.int32(w_pad)
     init = (jnp.full((1, r), jnp.inf, jnp.float32),
             jnp.full((1, r), BIG_IDX, jnp.int32))
     out_t, out_i = _run_segments(
         functools.partial(_nearest_kernel, tb=tb), 2, init,
-        rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
+        rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
         rt=rt, tb=tb, w_pad=w_pad, interpret=interpret)
     return out_t[0], out_i[0]
 
 
 @functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret"))
 def bsr_any(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
-            *, rt: int, tb: int, w_pad: int, interpret: bool = False):
-    """Any-hit (shadow) query with per-ray t_max. Returns int32 (R,) 0/1."""
+            count=None, *, rt: int, tb: int, w_pad: int,
+            interpret: bool = False):
+    """Any-hit (shadow) query with per-ray t_max. Returns int32 (R,) 0/1.
+
+    Same visited-tiles-only output contract as bsr_nearest.
+    """
     r = rays_packed.shape[1]
+    if count is None:
+        count = jnp.int32(w_pad)
     init = (jnp.zeros((1, r), jnp.int32),)
     (out,) = _run_segments(
         functools.partial(_any_kernel, tb=tb), 1, init,
-        rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
+        rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
         rt=rt, tb=tb, w_pad=w_pad, interpret=interpret)
     return out[0]

@@ -65,7 +65,7 @@ def trace_rays_bounced(scene: SceneArrays, origins: jnp.ndarray,
         if bounce == depth:
             break
         tri = jnp.maximum(hits.tri, 0)
-        ks = scene.mat_ks[scene.mat_id[tri]]
+        ks = prep.ks
         throughput = jnp.where(hits.valid[:, None], throughput * ks, 0.0)
         n = prep.normal
         d_dot_n = jnp.einsum("cd,cd->c", d, n)

@@ -63,6 +63,7 @@ class CulledRenderer:
         arrays, tree = scene.bake_bvh(block_size=block_size)
         self.arrays: SceneArrays = jax.device_put(arrays)
         self.tris_packed = jax.device_put(bsr_trace.pack_tris(arrays))
+        self.shade_tbl = jax.device_put(shade.pack_table(self.arrays))
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
 
@@ -92,44 +93,42 @@ class CulledRenderer:
 
     # -- stage B: nearest hit + shadow masks -----------------------------
 
+    def _visited(self, mask: jnp.ndarray) -> jnp.ndarray:
+        """(n_pad,) bool: does this ray's tile appear in the work list at all?
+        Pallas output blocks of unvisited tiles are never written (the grid
+        skips them), so their memory is undefined — kernel results are only
+        meaningful where the tile had work. Unvisited means the cull proved
+        no block can be hit, so nearest=inf / any-hit=0 by construction."""
+        return jnp.repeat(mask.any(axis=1), self.rt)
+
     def _stage_b_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
-                    block_lo, block_hi, cam: CameraArrays, dirs, mask, entry):
+                    shade_tbl, block_lo, block_hi, cam: CameraArrays,
+                    dirs, mask, entry):
         wl = cull.compact_worklist(mask, w_pad, entry=entry)
         rays = bsr_trace.pack_rays(cam.pos, dirs)
         no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
         best_t, best_i = bsr_trace.bsr_nearest(
             rays, no_excl, tris_packed, wl.tile_ids, wl.block_ids,
-            wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pad,
+            wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
             interpret=self.interpret)
+        best_t = jnp.where(self._visited(mask), best_t, jnp.inf)
         hits = intersect.Hits(t=best_t,
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
                               valid=jnp.isfinite(best_t))
-        prep = shade.prepare(scene, cam.pos, dirs, hits, self.cfg)
+        prep = shade.prepare(scene, cam.pos, dirs, hits, self.cfg,
+                             table=shade_tbl)
 
         def light_mask(q_origin, q_dir, q_tmax):
-            # Only rays that actually hit something cast shadow rays; collapse
-            # the rest onto a live ray of the same tile so dead queries never
-            # widen the tile intervals (shorter work lists, same image).
-            live = hits.valid
-            rep = self._tile_representative(live)
-            o = jnp.where(live[:, None], q_origin, q_origin[rep])
-            d = jnp.where(live[:, None], q_dir, q_dir[rep])
-            tm = jnp.where(live, q_tmax, 0.0)
-            ti = cull.tile_intervals(o, d, self.rt, t_max=tm)
+            # Only rays that actually hit something cast shadow rays; dead
+            # rays are masked out of the tile hulls (cull.tile_intervals
+            # live=) so they never widen the work lists.
+            ti = cull.tile_intervals(q_origin, q_dir, self.rt, t_max=q_tmax,
+                                     live=hits.valid)
             return cull.block_mask_with_entry(ti, block_lo, block_hi)
 
         smasks, sentries = jax.vmap(light_mask)(
             prep.queries.origin, prep.queries.ldir, prep.queries.t_max)
         return hits, prep, smasks, sentries, smasks.sum(axis=(1, 2))
-
-    def _tile_representative(self, live: jnp.ndarray) -> jnp.ndarray:
-        """Per ray: the index of a live ray in its own tile (itself if none),
-        used to collapse dead shadow queries without inflating tile hulls."""
-        per_tile = live.reshape(self.n_tiles, self.rt)
-        rep_in_tile = jnp.argmax(per_tile, axis=1)  # first live (0 if none)
-        base = jnp.arange(self.n_tiles, dtype=jnp.int32) * self.rt
-        rep = base + rep_in_tile.astype(jnp.int32)
-        return jnp.repeat(rep, self.rt)
 
     # -- stage C: shadow queries + shading -------------------------------
 
@@ -145,9 +144,9 @@ class CulledRenderer:
                                        prep.queries.t_max[li])
             hit = bsr_trace.bsr_any(
                 rays, hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
-                wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
+                wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
                 interpret=self.interpret)
-            lit.append(hit == 0)
+            lit.append(jnp.where(self._visited(smasks[li]), hit == 0, True))
         lit = jnp.stack(lit) if lit else jnp.zeros((0, self.n_pad), bool)
         colours = shade.shade_core(scene, cam.pos, prep, hits, lit)
         # Un-permute tile-major ray slots back into the row-major frame.
@@ -173,41 +172,35 @@ class CulledRenderer:
         side = jnp.where(jnp.einsum("cd,cd->c", n, refl) >= 0.0, 1.0, -1.0)
         o = (prep.x + cfg.shadow_offset * refl
              + (cfg.shadow_normal_offset * side)[:, None] * n)
-        # Dead rays (miss or zero-Ks material) collapse onto a live ray of
-        # their tile so they don't widen the cull hulls.
-        ks = scene.mat_ks[scene.mat_id[jnp.maximum(hits.tri, 0)]]
-        live = hits.valid & jnp.any(ks > 0.0, axis=-1)
-        rep = self._tile_representative(live)
-        o = jnp.where(live[:, None], o, o[rep])
-        d = jnp.where(live[:, None], refl, refl[rep])
-        ti = cull.tile_intervals(o, d, self.rt,
-                                 t_max=jnp.where(live, jnp.inf, 0.0))
+        # Dead rays (miss or zero-Ks material) are masked out of the tile
+        # hulls; their (finite, garbage) ray data still traverses with live
+        # tiles but contributes nothing (throughput is zeroed).
+        live = hits.valid & jnp.any(prep.ks > 0.0, axis=-1)
+        ti = cull.tile_intervals(o, refl, self.rt, live=live)
         mask, entry = cull.block_mask_with_entry(ti, self.block_lo, self.block_hi)
-        return o, d, live, mask, entry, mask.sum()
+        return o, refl, live, mask, entry, mask.sum()
 
     def _stage_bounce_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
-                         block_lo, block_hi, origins, dirs, exclude,
-                         mask, entry):
+                         shade_tbl, block_lo, block_hi, origins, dirs,
+                         exclude, mask, entry):
         """Nearest + shadow masks for an arbitrary ray set (origins per-ray
         or shared); also emits the next bounce's reflection query."""
         wl = cull.compact_worklist(mask, w_pad, entry=entry)
         rays = bsr_trace.pack_rays(origins, dirs)
         best_t, best_i = bsr_trace.bsr_nearest(
             rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
-            wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pad,
+            wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
             interpret=self.interpret)
+        best_t = jnp.where(self._visited(mask), best_t, jnp.inf)
         hits = intersect.Hits(t=best_t,
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
                               valid=jnp.isfinite(best_t))
-        prep = shade.prepare(scene, origins, dirs, hits, self.cfg)
+        prep = shade.prepare(scene, origins, dirs, hits, self.cfg,
+                             table=shade_tbl)
 
         def light_mask(q_origin, q_dir, q_tmax):
-            live = hits.valid
-            rep = self._tile_representative(live)
-            o = jnp.where(live[:, None], q_origin, q_origin[rep])
-            d = jnp.where(live[:, None], q_dir, q_dir[rep])
-            tm = jnp.where(live, q_tmax, 0.0)
-            ti = cull.tile_intervals(o, d, self.rt, t_max=tm)
+            ti = cull.tile_intervals(q_origin, q_dir, self.rt, t_max=q_tmax,
+                                     live=hits.valid)
             return cull.block_mask_with_entry(ti, block_lo, block_hi)
 
         smasks, sentries = jax.vmap(light_mask)(
@@ -230,9 +223,9 @@ class CulledRenderer:
                                        prep.queries.t_max[li])
             hit = bsr_trace.bsr_any(
                 rays, hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
-                wl.entry, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
+                wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
                 interpret=self.interpret)
-            lit.append(hit == 0)
+            lit.append(jnp.where(self._visited(smasks[li]), hit == 0, True))
         lit = jnp.stack(lit) if lit else jnp.zeros((0, self.n_pad), bool)
         return shade.shade_core(scene, view, prep, hits, lit)
 
@@ -263,7 +256,8 @@ class CulledRenderer:
                          self._stage_bounce_fn, w_pad)
             (hits, prep, smasks, sentries, scounts,
              r_o, r_d, r_live, r_mask, r_entry, r_count) = sb(
-                self.arrays, self.tris_packed, self.block_lo, self.block_hi,
+                self.arrays, self.tris_packed, self.shade_tbl,
+                self.block_lo, self.block_hi,
                 origins, dirs, exclude, mask, entry)
             w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
             pads_used.append((w_pad, w_pads))
@@ -271,8 +265,7 @@ class CulledRenderer:
                          self._stage_shade_fn, w_pads)
             local = sc(self.arrays, self.tris_packed, view, hits, prep,
                        smasks, sentries)
-            ks_cache = self.arrays.mat_ks[
-                self.arrays.mat_id[jnp.maximum(hits.tri, 0)]]
+            ks_cache = prep.ks
             colour = colour + throughput * local
             if b == depth:
                 break
@@ -291,7 +284,7 @@ class CulledRenderer:
         return img
 
     def _full_bounced_fn(self, pads: tuple, scene: SceneArrays, tris_packed,
-                         block_lo, block_hi, perm, inv_real,
+                         shade_tbl, block_lo, block_hi, perm, inv_real,
                          cam: CameraArrays):
         """Fused multi-bounce pipeline with fixed buckets (no host syncs)."""
         dirs, mask, entry, _ = self._stage_a_fn(cam, perm, block_lo, block_hi)
@@ -303,11 +296,11 @@ class CulledRenderer:
         for b, (w_pad, w_pads) in enumerate(pads):
             (hits, prep, smasks, sentries, _,
              r_o, r_d, _, r_mask, r_entry, _) = self._stage_bounce_fn(
-                w_pad, scene, tris_packed, block_lo, block_hi,
+                w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
                 origins, dirs, exclude, mask, entry)
             local = self._stage_shade_fn(w_pads, scene, tris_packed, view,
                                          hits, prep, smasks, sentries)
-            ks = scene.mat_ks[scene.mat_id[jnp.maximum(hits.tri, 0)]]
+            ks = prep.ks
             colour = colour + throughput * local
             if b + 1 == len(pads):
                 break
@@ -331,8 +324,9 @@ class CulledRenderer:
 
         def render(cam):
             c = cam.to_arrays() if isinstance(cam, Camera) else cam
-            return fused(self.arrays, self.tris_packed, self.block_lo,
-                         self.block_hi, self._perm, self._inv_real, c)
+            return fused(self.arrays, self.tris_packed, self.shade_tbl,
+                         self.block_lo, self.block_hi, self._perm,
+                         self._inv_real, c)
 
         return render
 
@@ -350,8 +344,8 @@ class CulledRenderer:
             stage_b = jax.jit(functools.partial(self._stage_b_fn, w_pad))
             self._stage_b_cache[w_pad] = stage_b
         hits, prep, smasks, sentries, scounts = stage_b(
-            self.arrays, self.tris_packed, self.block_lo, self.block_hi,
-            cam, dirs, mask, entry)
+            self.arrays, self.tris_packed, self.shade_tbl,
+            self.block_lo, self.block_hi, cam, dirs, mask, entry)
 
         w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
         stage_c = self._stage_c_cache.get(w_pads)
@@ -376,11 +370,12 @@ class CulledRenderer:
     # on overflow freeze() is simply called again with the new counts.
 
     def _full_fn(self, w_pad: int, w_pads: tuple, scene: SceneArrays,
-                 tris_packed, block_lo, block_hi, perm, inv_real,
+                 tris_packed, shade_tbl, block_lo, block_hi, perm, inv_real,
                  cam: CameraArrays):
         dirs, mask, entry, count = self._stage_a_fn(cam, perm, block_lo, block_hi)
         hits, prep, smasks, sentries, scounts = self._stage_b_fn(
-            w_pad, scene, tris_packed, block_lo, block_hi, cam, dirs, mask, entry)
+            w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
+            cam, dirs, mask, entry)
         img = self._stage_c_fn(w_pads, scene, tris_packed, inv_real,
                                cam, hits, prep, smasks, sentries)
         return img, count, scounts
@@ -406,8 +401,8 @@ class CulledRenderer:
         if self._fused is None:
             self.freeze(camera)
         img, count, scounts = self._fused(
-            self.arrays, self.tris_packed, self.block_lo, self.block_hi,
-            self._perm, self._inv_real, cam)
+            self.arrays, self.tris_packed, self.shade_tbl,
+            self.block_lo, self.block_hi, self._perm, self._inv_real, cam)
         if verify:
             w_pad, w_pads = self._frozen_pads
             c = int(count)
@@ -416,6 +411,7 @@ class CulledRenderer:
                 self._last_counts = (c, sc)
                 self.freeze(camera)
                 img, _, _ = self._fused(
-                    self.arrays, self.tris_packed, self.block_lo,
-                    self.block_hi, self._perm, self._inv_real, cam)
+                    self.arrays, self.tris_packed, self.shade_tbl,
+                    self.block_lo, self.block_hi, self._perm,
+                    self._inv_real, cam)
         return img

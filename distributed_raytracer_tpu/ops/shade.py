@@ -54,28 +54,75 @@ class ShadowQueries(NamedTuple):
 class ShadePrep(NamedTuple):
     x: jnp.ndarray        # (C, 3) hit points
     normal: jnp.ndarray   # (C, 3) shading normals
+    geo_n: jnp.ndarray    # (C, 3) unit geometric normals of the hit triangle
+    ka: jnp.ndarray       # (C, 3) hit-material ambient
+    kd: jnp.ndarray       # (C, 3) hit-material diffuse
+    ks: jnp.ndarray       # (C, 3) hit-material specular
+    ns: jnp.ndarray       # (C,) hit-material shininess
     queries: ShadowQueries
 
 
+# Packed per-triangle shading table: every per-hit quantity the shader needs,
+# gathered by winning triangle id in ONE (C, 32) gather instead of ~11
+# separate (C, 3) gathers (each gather pays a fixed per-row cost on TPU, so
+# width is nearly free while count is not). Materials are folded per-triangle
+# at pack time, collapsing the reference's face->material indirection
+# (mesh.go:21-27) — a pure space/time trade that TPU gathers strongly favor.
+_TBL = {"p0": 0, "k_u": 3, "k_v": 6, "n0": 9, "n1": 12, "n2": 15,
+        "geo_n": 18, "ka": 21, "kd": 24, "ks": 27, "ns": 30}
+TABLE_WIDTH = 32
+
+
+def pack_table(scene: SceneArrays) -> jnp.ndarray:
+    """(T, 32) float32 per-triangle shading rows (static per scene)."""
+    geo = scene.geo_n
+    glen = jnp.linalg.norm(geo, axis=-1, keepdims=True)
+    geo_unit = geo / jnp.where(glen > 0.0, glen, 1.0)
+    mat = scene.mat_id
+    cols = [scene.p0, scene.k_u, scene.k_v, scene.n0, scene.n1, scene.n2,
+            geo_unit, scene.mat_ka[mat], scene.mat_kd[mat],
+            scene.mat_ks[mat], scene.mat_ns[mat][:, None],
+            jnp.zeros((scene.p0.shape[0], 1), jnp.float32)]
+    return jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
+
+
 def prepare(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray,
-            hits: intersect.Hits, cfg: RenderConfig = DEFAULT_CONFIG) -> ShadePrep:
-    """Hit points, normals, and shadow queries for every ray."""
+            hits: intersect.Hits, cfg: RenderConfig = DEFAULT_CONFIG,
+            table: jnp.ndarray | None = None) -> ShadePrep:
+    """Hit points, normals, material rows, and shadow queries for every ray.
+
+    `table` is the pack_table() array; pass it pre-built (and device-resident)
+    from renderer setup — building it here is correct but re-concatenates per
+    call under jit.
+    """
+    if table is None:
+        table = pack_table(scene)
     t = jnp.where(hits.valid, hits.t, 0.0)  # keep hit-point math finite
     tri = jnp.maximum(hits.tri, 0)          # clamp miss sentinels for gathers
-    u, v, x = intersect.barycentrics_at(scene, origins, dirs, t, tri)
+    g = table[tri]                          # (C, 32) the one gather
+    col = lambda name, w=3: jax.lax.dynamic_slice_in_dim(
+        g, _TBL[name], w, axis=1)
+
+    if origins.ndim == 1:
+        origins = origins[None, :]
+    x = origins + t[:, None] * dirs
+    # (x - p0) . k is better conditioned than x . k + c: the relative vector
+    # is edge-scale, avoiding large-coordinate cancellation (see
+    # intersect.barycentrics_at, which this inlines).
+    rel = x - col("p0")
+    u = jnp.einsum("cd,cd->c", rel, col("k_u"))
+    v = jnp.einsum("cd,cd->c", rel, col("k_v"))
     r1 = 1.0 - u - v
 
-    n0 = scene.n0[tri]
-    n1 = scene.n1[tri]
-    n2 = scene.n2[tri]
-    normal = _normalize(r1[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2)
+    normal = _normalize(r1[:, None] * col("n0") + u[:, None] * col("n1")
+                        + v[:, None] * col("n2"))
 
     # Shadow ray per light: origin offset 1e-4 along the light direction
     # (tracer.go:64) plus a float32-robustness lift along the geometric
     # normal, signed toward the light's side of the surface — clearance that
     # does not collapse at grazing light angles (RenderConfig
     # .shadow_normal_offset; the float64 reference needs no such term).
-    geo = _normalize(scene.geo_n[tri])
+    geo = col("geo_n")
 
     def per_light(lpos):
         to_light = lpos[None, :] - x
@@ -87,7 +134,9 @@ def prepare(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray,
         return origin, ldir, ldist - cfg.shadow_offset
 
     o, d, tm = jax.vmap(per_light)(scene.light_pos)
-    return ShadePrep(x=x, normal=normal,
+    return ShadePrep(x=x, normal=normal, geo_n=geo,
+                     ka=col("ka"), kd=col("kd"), ks=col("ks"),
+                     ns=col("ns", 1)[:, 0],
                      queries=ShadowQueries(origin=o, ldir=d, t_max=tm))
 
 
@@ -99,12 +148,7 @@ def shade_core(scene: SceneArrays, cam_pos: jnp.ndarray, prep: ShadePrep,
     rays (the camera, tracer.go:66) or (C, 3) per-ray for reflection bounces
     (the previous hit point)."""
     x, normal = prep.x, prep.normal
-    tri = jnp.maximum(hits.tri, 0)
-    mat = scene.mat_id[tri]
-    ka = scene.mat_ka[mat]
-    kd = scene.mat_kd[mat]
-    ks = scene.mat_ks[mat]
-    ns = scene.mat_ns[mat]
+    ka, kd, ks, ns = prep.ka, prep.kd, prep.ks, prep.ns
 
     view = cam_pos[None, :] if cam_pos.ndim == 1 else cam_pos
     cam_dir = _normalize(view - x)  # V, toward the viewer

@@ -160,3 +160,21 @@ def test_segmented_worklist_matches(suzanne_scene, interpret):
     r2 = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
     one = np.asarray(r2.render(suzanne_scene.camera))
     np.testing.assert_allclose(seg, one, atol=2e-5)
+
+
+def test_culled_offview_camera_is_black(tetra_scene, interpret):
+    """Ray tiles with zero work-list entries must produce misses, not
+    garbage: Pallas never writes output blocks of unvisited tiles, so the
+    renderer masks kernel outputs by per-tile visited flags. Regression
+    test for uninitialized-output reads when the scene is (mostly) out of
+    view."""
+    from distributed_raytracer_tpu.models.camera import Camera
+
+    w, h = 64, 48
+    # Look almost exactly away from the object: a corner sliver at most.
+    away = Camera.create(np.asarray(tetra_scene.camera.pos),
+                         np.array([0.9, 0.3, 0.3]), tetra_scene.camera.fov)
+    r = CulledRenderer(tetra_scene, w, h, interpret=interpret)
+    dense = np.asarray(render_frame(tetra_scene.bake(), away.to_arrays(), w, h))
+    culled = np.asarray(r.render(away))
+    np.testing.assert_allclose(culled, dense, atol=2e-5)
