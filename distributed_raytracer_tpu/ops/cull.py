@@ -71,6 +71,43 @@ def tile_intervals(origins: jnp.ndarray, dirs: jnp.ndarray, tile: int,
     return TileIntervals(o_lo=o_lo, o_hi=o_hi, d_lo=d_lo, d_hi=d_hi, t_hi=t_hi)
 
 
+def tile_intervals_packed(rays: jnp.ndarray, tile: int,
+                          live: Optional[jnp.ndarray] = None,
+                          use_tmax: bool = False) -> TileIntervals:
+    """tile_intervals for packed (8, R) ray rows (ox,oy,oz,dx,dy,dz,tmax,·).
+
+    Row-major reductions keep every coordinate a dense (R,) lane vector —
+    no (R, 3) layout copies. Row 6 (t_max) participates only when
+    `use_tmax` (nearest queries are unbounded)."""
+    r = rays.shape[1]
+    nt = r // tile
+    big = jnp.float32(jnp.inf)
+
+    def lohi(rows):  # (3, R) -> (nt, 3), (nt, 3)
+        v = rows.reshape(3, nt, tile)
+        if live is not None:
+            lv = live.reshape(1, nt, tile)
+            lo = jnp.where(lv, v, big).min(axis=2)
+            hi = jnp.where(lv, v, -big).max(axis=2)
+        else:
+            lo, hi = v.min(axis=2), v.max(axis=2)
+        return lo.T, hi.T
+
+    o_lo, o_hi = lohi(rays[0:3])
+    d_lo, d_hi = lohi(rays[3:6])
+    if use_tmax:
+        tm = rays[6]
+        if live is not None:
+            tm = jnp.where(live, tm, 0.0)
+        t_hi = tm.reshape(nt, tile).max(axis=1)
+    else:
+        t_hi = jnp.full((nt,), big)
+        if live is not None:
+            # all-dead tiles must still cull to nothing
+            t_hi = jnp.where(live.reshape(nt, tile).any(axis=1), big, 0.0)
+    return TileIntervals(o_lo=o_lo, o_hi=o_hi, d_lo=d_lo, d_hi=d_hi, t_hi=t_hi)
+
+
 def block_mask_with_entry(ti: TileIntervals, block_lo: jnp.ndarray,
                           block_hi: jnp.ndarray):
     """Conservative (nTiles, NB) cull with entry distances.

@@ -61,6 +61,19 @@ def pack_tris(scene_arrays) -> np.ndarray:
     return packed
 
 
+def pack_rays_rows(origins: jnp.ndarray, d_rows: jnp.ndarray,
+                   t_max: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[8, R] rays from (3, R) direction rows. origins (3, R) rows or (3,)
+    shared. The row-native sibling of pack_rays (no transposes)."""
+    r = d_rows.shape[1]
+    o = (jnp.broadcast_to(origins[:, None], (3, r))
+         if origins.ndim == 1 else origins)
+    tmax = (jnp.full((1, r), jnp.inf, jnp.float32)
+            if t_max is None else t_max.reshape(1, r))
+    zero = jnp.zeros((1, r), jnp.float32)
+    return jnp.concatenate([o, d_rows, tmax, zero], axis=0)
+
+
 def pack_rays(origins: jnp.ndarray, dirs: jnp.ndarray,
               t_max: jnp.ndarray | None = None) -> jnp.ndarray:
     """[8, R] float32 ray rows. origins (R,3) or (3,) shared."""

@@ -55,3 +55,27 @@ def ray_directions_flat(cam: CameraArrays, width: int, height: int,
     d = (cam.forward[None, :] + a[:, None] * cam.left[None, :]
          + b[:, None] * cam.up[None, :])
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def ray_rows_flat(cam: CameraArrays, width: int, height: int,
+                  idx: jnp.ndarray) -> jnp.ndarray:
+    """Directions as (3, R) rows — the block-sparse path's native layout.
+
+    (R, 3) arrays waste 125/128 lanes of every TPU vector register and
+    invite layout-copy thrash; rows keep each coordinate a dense (R,)
+    vector. Values are bit-identical to ray_directions_flat (same
+    multiplies, same add order, elementwise-commuted broadcasts only).
+    """
+    idx = jnp.minimum(idx, width * height - 1)
+    i = (idx % width).astype(jnp.float32)
+    j = (idx // width).astype(jnp.float32)
+
+    half_w, half_h = width // 2, height // 2
+    phw = jnp.tan(cam.fov / 2.0)
+    phh = phw * (height / width)
+    a = phw * ((half_w - i) - 0.5) / half_w
+    b = phh * ((half_h - j) - 0.5) / half_h
+
+    d = (cam.forward[:, None] + a[None, :] * cam.left[:, None]
+         + b[None, :] * cam.up[:, None])
+    return d / jnp.linalg.norm(d, axis=0, keepdims=True)

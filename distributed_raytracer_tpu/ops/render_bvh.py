@@ -12,6 +12,13 @@ Rays are laid out in 2D screen tiles (cull.tiled_ray_order): compact tiles
 have tight interval hulls, which is what makes the cull effective (2-3%
 retention on the 62K-tri benchmark vs ~50% with row strips).
 
+Data layout is row-native end to end: rays are (8, R) packed rows, per-ray
+vectors (3, R) rows, shadow queries kernel-ready (L, 8, R). (R, 3) arrays
+use 3 of 128 lanes per vector register and forced XLA into layout-copy
+thrash + transposing fusions that dominated the frame profile; the rows
+form removed ~40% of frame time. Frame assembly is a reshape/transpose
+(tile-major -> row-major), not a gather.
+
 The frame is computed in three jitted stages with two tiny host syncs that
 size the work lists (power-of-two buckets, so recompiles are rare):
   stage A: primary rays + primary cull mask -> count
@@ -68,9 +75,10 @@ class CulledRenderer:
         self.block_hi = jnp.asarray(tree.block_hi)
 
         # 2D screen tiles (32 x rt/32 pixels): see module docstring.
-        tile_w = 32
+        self.tile_w = 32
+        self.tile_h = ray_tile // self.tile_w
         perm, inv_real, n_slots = cull.tiled_ray_order(
-            width, height, tile_w, ray_tile // tile_w)
+            width, height, self.tile_w, self.tile_h)
         self._perm = jax.device_put(jnp.asarray(perm))
         self._inv_real = jax.device_put(jnp.asarray(inv_real))
         self.n_pad = n_slots
@@ -82,14 +90,30 @@ class CulledRenderer:
         self._fused = None          # frozen-bucket fast path
         self._last_counts = None    # (count, scounts) from the last sync render
 
+    # -- frame assembly ---------------------------------------------------
+
+    def _assemble(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """(3, n_pad) tile-major colour rows -> (H, W, 3) row-major frame.
+
+        Pure reshape/transpose (slot s = ((tj*tx + ti)*th + wj)*tw + wi, the
+        cull.tiled_ray_order layout) — replaces the (R, 3) inv_real gather,
+        which cost more than the intersection kernels.
+        """
+        tw, th = self.tile_w, self.tile_h
+        tx, ty = -(-self.width // tw), -(-self.height // th)
+        img = rows.reshape(3, ty, tx, th, tw).transpose(1, 3, 2, 4, 0)
+        img = img.reshape(ty * th, tx * tw, 3)
+        return img[:self.height, :self.width]
+
     # -- stage A: primary rays + cull ------------------------------------
 
     def _stage_a_fn(self, cam: CameraArrays, perm, block_lo, block_hi):
-        dirs = raygen.ray_directions_flat(cam, self.width, self.raygen_height,
-                                          perm)
-        ti = cull.tile_intervals(cam.pos, dirs, self.rt)
+        d_rows = raygen.ray_rows_flat(cam, self.width, self.raygen_height,
+                                      perm)
+        rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)
+        ti = cull.tile_intervals_packed(rays, self.rt)
         mask, entry = cull.block_mask_with_entry(ti, block_lo, block_hi)
-        return dirs, mask, entry, mask.sum()
+        return rays, mask, entry, mask.sum()
 
     # -- stage B: nearest hit + shadow masks -----------------------------
 
@@ -101,56 +125,67 @@ class CulledRenderer:
         no block can be hit, so nearest=inf / any-hit=0 by construction."""
         return jnp.repeat(mask.any(axis=1), self.rt)
 
-    def _stage_b_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
-                    shade_tbl, block_lo, block_hi, cam: CameraArrays,
-                    dirs, mask, entry):
+    def _nearest(self, w_pad, scene, tris_packed, rays, exclude, mask, entry):
         wl = cull.compact_worklist(mask, w_pad, entry=entry)
-        rays = bsr_trace.pack_rays(cam.pos, dirs)
-        no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
         best_t, best_i = bsr_trace.bsr_nearest(
-            rays, no_excl, tris_packed, wl.tile_ids, wl.block_ids,
+            rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
             wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
             interpret=self.interpret)
         best_t = jnp.where(self._visited(mask), best_t, jnp.inf)
-        hits = intersect.Hits(t=best_t,
+        return intersect.Hits(t=best_t,
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
                               valid=jnp.isfinite(best_t))
-        prep = shade.prepare(scene, cam.pos, dirs, hits, self.cfg,
-                             table=shade_tbl)
 
-        def light_mask(q_origin, q_dir, q_tmax):
-            # Only rays that actually hit something cast shadow rays; dead
-            # rays are masked out of the tile hulls (cull.tile_intervals
-            # live=) so they never widen the work lists.
-            ti = cull.tile_intervals(q_origin, q_dir, self.rt, t_max=q_tmax,
-                                     live=hits.valid)
-            return cull.block_mask_with_entry(ti, block_lo, block_hi)
+    def _light_masks(self, prep, live, block_lo, block_hi):
+        """Per-light conservative cull masks for the shadow queries. Dead
+        rays (misses) are masked out of the tile hulls
+        (cull.tile_intervals_packed live=) so they never widen the work
+        lists."""
+        smasks, sentries = [], []
+        for li in range(prep.q.shape[0]):
+            ti = cull.tile_intervals_packed(prep.q[li], self.rt, live=live,
+                                            use_tmax=True)
+            m, e = cull.block_mask_with_entry(ti, block_lo, block_hi)
+            smasks.append(m)
+            sentries.append(e)
+        nb = block_lo.shape[0]
+        smasks = (jnp.stack(smasks) if smasks
+                  else jnp.zeros((0, self.n_tiles, nb), bool))
+        sentries = (jnp.stack(sentries) if sentries
+                    else jnp.zeros((0, self.n_tiles, nb), jnp.float32))
+        return smasks, sentries
 
-        smasks, sentries = jax.vmap(light_mask)(
-            prep.queries.origin, prep.queries.ldir, prep.queries.t_max)
+    def _stage_b_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
+                    shade_tbl, block_lo, block_hi, rays, mask, entry):
+        no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
+        hits = self._nearest(w_pad, scene, tris_packed, rays, no_excl,
+                             mask, entry)
+        prep = shade.prepare_packed(scene, rays, hits, self.cfg,
+                                    table=shade_tbl)
+        smasks, sentries = self._light_masks(prep, hits.valid,
+                                             block_lo, block_hi)
         return hits, prep, smasks, sentries, smasks.sum(axis=(1, 2))
 
     # -- stage C: shadow queries + shading -------------------------------
 
-    def _stage_c_fn(self, w_pads: tuple, scene: SceneArrays, tris_packed,
-                    inv_real, cam: CameraArrays, hits, prep, smasks, sentries):
+    def _lit(self, w_pads, tris_packed, prep, hits, smasks, sentries):
         lit = []
-        n_lights = scene.light_pos.shape[0]
-        for li in range(n_lights):
+        for li in range(prep.q.shape[0]):
             wl = cull.compact_worklist(smasks[li], w_pads[li],
                                        entry=sentries[li])
-            rays = bsr_trace.pack_rays(prep.queries.origin[li],
-                                       prep.queries.ldir[li],
-                                       prep.queries.t_max[li])
             hit = bsr_trace.bsr_any(
-                rays, hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
+                prep.q[li], hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
                 wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
                 interpret=self.interpret)
             lit.append(jnp.where(self._visited(smasks[li]), hit == 0, True))
-        lit = jnp.stack(lit) if lit else jnp.zeros((0, self.n_pad), bool)
-        colours = shade.shade_core(scene, cam.pos, prep, hits, lit)
-        # Un-permute tile-major ray slots back into the row-major frame.
-        return colours[inv_real].reshape(self.height, self.width, 3)
+        return (jnp.stack(lit) if lit
+                else jnp.zeros((0, self.n_pad), bool))
+
+    def _stage_c_fn(self, w_pads: tuple, scene: SceneArrays, tris_packed,
+                    cam: CameraArrays, hits, prep, smasks, sentries):
+        lit = self._lit(w_pads, tris_packed, prep, hits, smasks, sentries)
+        colours = shade.shade_core_packed(scene, cam.pos, prep, hits, lit)
+        return self._assemble(colours)
 
     # -- multi-bounce stages ---------------------------------------------
     #
@@ -161,78 +196,55 @@ class CulledRenderer:
     # reflections, plus per-light BSR shadow queries; the radiance
     # accumulates as colour += throughput * phong_b with one final clamp.
 
-    def _reflection_query(self, scene: SceneArrays, prep, hits, dirs):
+    def _reflection_query(self, prep, hits, rays):
         """Reflected rays from the current hits (+ their cull mask)."""
         cfg = self.cfg
         n = prep.normal
-        d_dot_n = jnp.einsum("cd,cd->c", dirs, n)
-        refl = dirs - 2.0 * d_dot_n[:, None] * n
-        rlen = jnp.linalg.norm(refl, axis=-1, keepdims=True)
+        d = rays[3:6]
+        d_dot_n = jnp.sum(d * n, axis=0)
+        refl = d - 2.0 * d_dot_n[None, :] * n
+        rlen = jnp.sqrt(jnp.sum(refl * refl, axis=0, keepdims=True))
         refl = refl / jnp.where(rlen > 0, rlen, 1.0)
-        side = jnp.where(jnp.einsum("cd,cd->c", n, refl) >= 0.0, 1.0, -1.0)
+        side = jnp.where(jnp.sum(n * refl, axis=0) >= 0.0, 1.0, -1.0)
         o = (prep.x + cfg.shadow_offset * refl
-             + (cfg.shadow_normal_offset * side)[:, None] * n)
+             + (cfg.shadow_normal_offset * side)[None, :] * n)
+        r_rays = bsr_trace.pack_rays_rows(o, refl)
         # Dead rays (miss or zero-Ks material) are masked out of the tile
         # hulls; their (finite, garbage) ray data still traverses with live
         # tiles but contributes nothing (throughput is zeroed).
-        live = hits.valid & jnp.any(prep.ks > 0.0, axis=-1)
-        ti = cull.tile_intervals(o, refl, self.rt, live=live)
-        mask, entry = cull.block_mask_with_entry(ti, self.block_lo, self.block_hi)
-        return o, refl, live, mask, entry, mask.sum()
+        live = hits.valid & jnp.any(prep.ks > 0.0, axis=0)
+        ti = cull.tile_intervals_packed(r_rays, self.rt, live=live)
+        mask, entry = cull.block_mask_with_entry(ti, self.block_lo,
+                                                 self.block_hi)
+        return r_rays, live, mask, entry, mask.sum()
 
     def _stage_bounce_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
-                         shade_tbl, block_lo, block_hi, origins, dirs,
-                         exclude, mask, entry):
-        """Nearest + shadow masks for an arbitrary ray set (origins per-ray
-        or shared); also emits the next bounce's reflection query."""
-        wl = cull.compact_worklist(mask, w_pad, entry=entry)
-        rays = bsr_trace.pack_rays(origins, dirs)
-        best_t, best_i = bsr_trace.bsr_nearest(
-            rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
-            wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
-            interpret=self.interpret)
-        best_t = jnp.where(self._visited(mask), best_t, jnp.inf)
-        hits = intersect.Hits(t=best_t,
-                              tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
-                              valid=jnp.isfinite(best_t))
-        prep = shade.prepare(scene, origins, dirs, hits, self.cfg,
-                             table=shade_tbl)
-
-        def light_mask(q_origin, q_dir, q_tmax):
-            ti = cull.tile_intervals(q_origin, q_dir, self.rt, t_max=q_tmax,
-                                     live=hits.valid)
-            return cull.block_mask_with_entry(ti, block_lo, block_hi)
-
-        smasks, sentries = jax.vmap(light_mask)(
-            prep.queries.origin, prep.queries.ldir, prep.queries.t_max)
-        r_o, r_d, r_live, r_mask, r_entry, r_count = self._reflection_query(
-            scene, prep, hits, dirs)
+                         shade_tbl, block_lo, block_hi, rays, exclude,
+                         mask, entry):
+        """Nearest + shadow masks for an arbitrary packed ray set; also
+        emits the next bounce's reflection query."""
+        hits = self._nearest(w_pad, scene, tris_packed, rays, exclude,
+                             mask, entry)
+        prep = shade.prepare_packed(scene, rays, hits, self.cfg,
+                                    table=shade_tbl)
+        smasks, sentries = self._light_masks(prep, hits.valid,
+                                             block_lo, block_hi)
+        r_rays, r_live, r_mask, r_entry, r_count = self._reflection_query(
+            prep, hits, rays)
         return (hits, prep, smasks, sentries, smasks.sum(axis=(1, 2)),
-                r_o, r_d, r_live, r_mask, r_entry, r_count)
+                r_rays, r_live, r_mask, r_entry, r_count)
 
     def _stage_shade_fn(self, w_pads: tuple, scene: SceneArrays, tris_packed,
                         view, hits, prep, smasks, sentries):
-        """Per-light shadow queries + phong for one bounce -> (C, 3) local
-        radiance (not yet throughput-weighted)."""
-        lit = []
-        for li in range(scene.light_pos.shape[0]):
-            wl = cull.compact_worklist(smasks[li], w_pads[li],
-                                       entry=sentries[li])
-            rays = bsr_trace.pack_rays(prep.queries.origin[li],
-                                       prep.queries.ldir[li],
-                                       prep.queries.t_max[li])
-            hit = bsr_trace.bsr_any(
-                rays, hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
-                wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
-                interpret=self.interpret)
-            lit.append(jnp.where(self._visited(smasks[li]), hit == 0, True))
-        lit = jnp.stack(lit) if lit else jnp.zeros((0, self.n_pad), bool)
-        return shade.shade_core(scene, view, prep, hits, lit)
+        """Per-light shadow queries + phong for one bounce -> (3, C) local
+        radiance rows (not yet throughput-weighted)."""
+        lit = self._lit(w_pads, tris_packed, prep, hits, smasks, sentries)
+        return shade.shade_core_packed(scene, view, prep, hits, lit)
 
     def render_bounced(self, camera, depth: int, block: bool = False):
         """Whitted multi-bounce render on the block-sparse path."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
-        dirs, mask, entry, count = self._stage_a(
+        rays, mask, entry, count = self._stage_a(
             cam, self._perm, self.block_lo, self.block_hi)
 
         def jit_for(cache, key, fn, *static):
@@ -242,75 +254,70 @@ class CulledRenderer:
                 cache[key] = f
             return f
 
-        colour = jnp.zeros((self.n_pad, 3), jnp.float32)
-        throughput = jnp.ones((self.n_pad, 3), jnp.float32)
-        origins = cam.pos
+        colour = jnp.zeros((3, self.n_pad), jnp.float32)
+        throughput = jnp.ones((3, self.n_pad), jnp.float32)
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
-        ks_cache = None
         pads_used = []
 
         for b in range(depth + 1):
             w_pad = _next_pow2(int(count))
-            sb = jit_for(self._stage_b_cache, ("bounce", b > 0, w_pad),
+            sb = jit_for(self._stage_b_cache, ("bounce", w_pad),
                          self._stage_bounce_fn, w_pad)
             (hits, prep, smasks, sentries, scounts,
-             r_o, r_d, r_live, r_mask, r_entry, r_count) = sb(
+             r_rays, r_live, r_mask, r_entry, r_count) = sb(
                 self.arrays, self.tris_packed, self.shade_tbl,
-                self.block_lo, self.block_hi,
-                origins, dirs, exclude, mask, entry)
+                self.block_lo, self.block_hi, rays, exclude, mask, entry)
             w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
             pads_used.append((w_pad, w_pads))
             sc = jit_for(self._stage_c_cache, ("shade", b > 0, w_pads),
                          self._stage_shade_fn, w_pads)
             local = sc(self.arrays, self.tris_packed, view, hits, prep,
                        smasks, sentries)
-            ks_cache = prep.ks
             colour = colour + throughput * local
             if b == depth:
                 break
-            throughput = jnp.where(hits.valid[:, None],
-                                   throughput * ks_cache, 0.0)
+            throughput = jnp.where(hits.valid[None, :],
+                                   throughput * prep.ks, 0.0)
             view = prep.x
-            origins, dirs = r_o, r_d
+            rays = r_rays
             exclude = hits.tri
             mask, entry, count = r_mask, r_entry, int(r_count)
 
         colour = jnp.clip(colour, 0.0, 1.0)
-        img = colour[self._inv_real].reshape(self.height, self.width, 3)
+        img = self._assemble(colour)
         self._last_bounce_pads = tuple(pads_used)
         if block:
             jax.block_until_ready(img)
         return img
 
     def _full_bounced_fn(self, pads: tuple, scene: SceneArrays, tris_packed,
-                         shade_tbl, block_lo, block_hi, perm, inv_real,
+                         shade_tbl, block_lo, block_hi, perm,
                          cam: CameraArrays):
         """Fused multi-bounce pipeline with fixed buckets (no host syncs)."""
-        dirs, mask, entry, _ = self._stage_a_fn(cam, perm, block_lo, block_hi)
-        colour = jnp.zeros((self.n_pad, 3), jnp.float32)
-        throughput = jnp.ones((self.n_pad, 3), jnp.float32)
-        origins = cam.pos
+        rays, mask, entry, _ = self._stage_a_fn(cam, perm, block_lo, block_hi)
+        colour = jnp.zeros((3, self.n_pad), jnp.float32)
+        throughput = jnp.ones((3, self.n_pad), jnp.float32)
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
         for b, (w_pad, w_pads) in enumerate(pads):
             (hits, prep, smasks, sentries, _,
-             r_o, r_d, _, r_mask, r_entry, _) = self._stage_bounce_fn(
+             r_rays, _, r_mask, r_entry, _) = self._stage_bounce_fn(
                 w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
-                origins, dirs, exclude, mask, entry)
+                rays, exclude, mask, entry)
             local = self._stage_shade_fn(w_pads, scene, tris_packed, view,
                                          hits, prep, smasks, sentries)
-            ks = prep.ks
             colour = colour + throughput * local
             if b + 1 == len(pads):
                 break
-            throughput = jnp.where(hits.valid[:, None], throughput * ks, 0.0)
+            throughput = jnp.where(hits.valid[None, :],
+                                   throughput * prep.ks, 0.0)
             view = prep.x
-            origins, dirs = r_o, r_d
+            rays = r_rays
             exclude = hits.tri
             mask, entry = r_mask, r_entry
         colour = jnp.clip(colour, 0.0, 1.0)
-        return colour[inv_real].reshape(self.height, self.width, 3)
+        return self._assemble(colour)
 
     def freeze_bounced(self, camera, depth: int, margin: float = 2.0):
         """Fuse the multi-bounce pipeline with buckets sized from one sync
@@ -325,8 +332,7 @@ class CulledRenderer:
         def render(cam):
             c = cam.to_arrays() if isinstance(cam, Camera) else cam
             return fused(self.arrays, self.tris_packed, self.shade_tbl,
-                         self.block_lo, self.block_hi, self._perm,
-                         self._inv_real, c)
+                         self.block_lo, self.block_hi, self._perm, c)
 
         return render
 
@@ -335,7 +341,7 @@ class CulledRenderer:
     def render(self, camera, block: bool = False):
         """Render a frame; returns a device array (H, W, 3) float32."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
-        dirs, mask, entry, count = self._stage_a(
+        rays, mask, entry, count = self._stage_a(
             cam, self._perm, self.block_lo, self.block_hi)
         w_pad = _next_pow2(int(count))
 
@@ -345,15 +351,15 @@ class CulledRenderer:
             self._stage_b_cache[w_pad] = stage_b
         hits, prep, smasks, sentries, scounts = stage_b(
             self.arrays, self.tris_packed, self.shade_tbl,
-            self.block_lo, self.block_hi, cam, dirs, mask, entry)
+            self.block_lo, self.block_hi, rays, mask, entry)
 
         w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
         stage_c = self._stage_c_cache.get(w_pads)
         if stage_c is None:
             stage_c = jax.jit(functools.partial(self._stage_c_fn, w_pads))
             self._stage_c_cache[w_pads] = stage_c
-        img = stage_c(self.arrays, self.tris_packed, self._inv_real,
-                      cam, hits, prep, smasks, sentries)
+        img = stage_c(self.arrays, self.tris_packed, cam, hits, prep,
+                      smasks, sentries)
         self._last_counts = (int(count), tuple(int(c) for c in np.asarray(scounts)))
         if block:
             jax.block_until_ready(img)
@@ -370,14 +376,15 @@ class CulledRenderer:
     # on overflow freeze() is simply called again with the new counts.
 
     def _full_fn(self, w_pad: int, w_pads: tuple, scene: SceneArrays,
-                 tris_packed, shade_tbl, block_lo, block_hi, perm, inv_real,
+                 tris_packed, shade_tbl, block_lo, block_hi, perm,
                  cam: CameraArrays):
-        dirs, mask, entry, count = self._stage_a_fn(cam, perm, block_lo, block_hi)
+        rays, mask, entry, count = self._stage_a_fn(cam, perm, block_lo,
+                                                    block_hi)
         hits, prep, smasks, sentries, scounts = self._stage_b_fn(
             w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
-            cam, dirs, mask, entry)
-        img = self._stage_c_fn(w_pads, scene, tris_packed, inv_real,
-                               cam, hits, prep, smasks, sentries)
+            rays, mask, entry)
+        img = self._stage_c_fn(w_pads, scene, tris_packed, cam, hits, prep,
+                               smasks, sentries)
         return img, count, scounts
 
     def freeze(self, camera=None, margin: float = 2.0) -> None:
@@ -402,7 +409,7 @@ class CulledRenderer:
             self.freeze(camera)
         img, count, scounts = self._fused(
             self.arrays, self.tris_packed, self.shade_tbl,
-            self.block_lo, self.block_hi, self._perm, self._inv_real, cam)
+            self.block_lo, self.block_hi, self._perm, cam)
         if verify:
             w_pad, w_pads = self._frozen_pads
             c = int(count)
@@ -412,6 +419,5 @@ class CulledRenderer:
                 self.freeze(camera)
                 img, _, _ = self._fused(
                     self.arrays, self.tris_packed, self.shade_tbl,
-                    self.block_lo, self.block_hi, self._perm,
-                    self._inv_real, cam)
+                    self.block_lo, self.block_hi, self._perm, cam)
         return img

@@ -140,6 +140,97 @@ def prepare(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray,
                      queries=ShadowQueries(origin=o, ldir=d, t_max=tm))
 
 
+class PackedPrep(NamedTuple):
+    """Row-layout ShadePrep for the block-sparse path: every per-ray vector
+    is (3, C) rows (dense lanes), shadow queries are kernel-ready (L, 8, C)
+    packed rays. Semantically identical to prepare(); layouts differ."""
+
+    x: jnp.ndarray        # (3, C) hit points
+    normal: jnp.ndarray   # (3, C) shading normals
+    geo_n: jnp.ndarray    # (3, C) unit geometric normals
+    ka: jnp.ndarray       # (3, C)
+    kd: jnp.ndarray       # (3, C)
+    ks: jnp.ndarray       # (3, C)
+    ns: jnp.ndarray       # (C,)
+    q: jnp.ndarray        # (L, 8, C) packed shadow rays (t_max in row 6)
+
+
+def _normalize_rows(v):
+    n = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    return v / jnp.where(n > 0.0, n, 1.0)
+
+
+def prepare_packed(scene: SceneArrays, rays: jnp.ndarray,
+                   hits: intersect.Hits, cfg: RenderConfig = DEFAULT_CONFIG,
+                   table: jnp.ndarray | None = None) -> PackedPrep:
+    """prepare() on packed (8, C) rays; see ShadePrep for the semantics.
+
+    The packed-table gather is the one gather; its (C, 32) result is
+    transposed once to (32, C) so every column read afterwards is a dense
+    (C,) row instead of a 1-in-32-lanes strided slice.
+    """
+    if table is None:
+        table = pack_table(scene)
+    t = jnp.where(hits.valid, hits.t, 0.0)
+    tri = jnp.maximum(hits.tri, 0)
+    g = table[tri].T                       # (32, C): gather + one transpose
+    o, d = rays[0:3], rays[3:6]
+
+    x = o + t[None, :] * d                 # (3, C)
+    rel = x - g[0:3]
+    u = jnp.sum(rel * g[3:6], axis=0)
+    v = jnp.sum(rel * g[6:9], axis=0)
+    r1 = 1.0 - u - v
+    normal = _normalize_rows(r1[None, :] * g[9:12] + u[None, :] * g[12:15]
+                             + v[None, :] * g[15:18])
+    geo = g[18:21]
+
+    zero = jnp.zeros((1, x.shape[1]), jnp.float32)
+    qs = []
+    for li in range(scene.light_pos.shape[0]):
+        lpos = scene.light_pos[li]
+        to_light = lpos[:, None] - x
+        ldist = jnp.sqrt(jnp.sum(to_light * to_light, axis=0))
+        ldir = to_light / ldist[None, :]
+        side = jnp.where(jnp.sum(geo * ldir, axis=0) >= 0.0, 1.0, -1.0)
+        origin = (x + cfg.shadow_offset * ldir
+                  + (cfg.shadow_normal_offset * side)[None, :] * geo)
+        tmax = (ldist - cfg.shadow_offset)[None, :]
+        qs.append(jnp.concatenate([origin, ldir, tmax, zero], axis=0))
+    q = (jnp.stack(qs) if qs
+         else jnp.zeros((0, 8, x.shape[1]), jnp.float32))
+    return PackedPrep(x=x, normal=normal, geo_n=geo,
+                      ka=g[21:24], kd=g[24:27], ks=g[27:30], ns=g[30],
+                      q=q)
+
+
+def shade_core_packed(scene: SceneArrays, view: jnp.ndarray,
+                      prep: PackedPrep, hits: intersect.Hits,
+                      lit: jnp.ndarray) -> jnp.ndarray:
+    """shade_core on PackedPrep; returns (3, C) colour rows.
+
+    view: (3,) shared viewer (primary rays) or (3, C) per-ray (bounces).
+    """
+    x, normal = prep.x, prep.normal
+    ka, kd, ks, ns = prep.ka, prep.kd, prep.ks, prep.ns
+    v = view[:, None] if view.ndim == 1 else view
+    cam_dir = _normalize_rows(v - x)
+
+    colour = ka
+    for li in range(scene.light_pos.shape[0]):
+        ldir = prep.q[li, 3:6]
+        lcol = scene.light_col[li]
+        l_dot_n = jnp.sum(ldir * normal, axis=0)
+        diff = jnp.maximum(l_dot_n, 0.0)
+        refl = 2.0 * l_dot_n[None, :] * normal - ldir
+        spec = jnp.power(
+            jnp.maximum(jnp.sum(refl * cam_dir, axis=0), 0.0), ns)
+        contrib = (kd * diff[None, :] + ks * spec[None, :]) * lcol[:, None]
+        colour = colour + jnp.where(lit[li][None, :], contrib, 0.0)
+    colour = jnp.minimum(colour, 1.0)  # saturating adds -> one clamp
+    return jnp.where(hits.valid[None, :], colour, 0.0)
+
+
 def shade_core(scene: SceneArrays, cam_pos: jnp.ndarray, prep: ShadePrep,
                hits: intersect.Hits, lit: jnp.ndarray) -> jnp.ndarray:
     """Accumulate Phong lighting given per-light lit flags (L, C).

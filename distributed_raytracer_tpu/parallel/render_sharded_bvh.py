@@ -79,18 +79,18 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
     w_pads = tuple(_next_pow2(int(c * margin)) for c in max_scounts)
 
     def shard_fn(scene_arrays, tris_packed, shade_tbl, block_lo, block_hi,
-                 perm, inv_real, cam: CameraArrays):
+                 perm, cam: CameraArrays):
         me = jax.lax.axis_index(AXIS)
         my_perm = jnp.minimum(perm + me * (h_band * width),
                               width * height - 1)
         img, _, _ = band._full_fn(
             w_pad, w_pads, scene_arrays, tris_packed, shade_tbl,
-            block_lo, block_hi, my_perm, inv_real, cam)
+            block_lo, block_hi, my_perm, cam)
         return img  # (h_band, width, 3)
 
     sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(AXIS),
         # Pallas out_shapes carry no varying-mesh-axes annotation; the
         # kernels touch no collectives, so skip the vma typecheck.
@@ -100,8 +100,7 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
 
     def device_fn(cam: CameraArrays):
         return device_fn_jit(band.arrays, band.tris_packed, band.shade_tbl,
-                             band.block_lo, band.block_hi, band._perm,
-                             band._inv_real, cam)
+                             band.block_lo, band.block_hi, band._perm, cam)
 
     def render(cam) -> np.ndarray:
         c = cam.to_arrays() if isinstance(cam, Camera) else cam
