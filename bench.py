@@ -65,7 +65,7 @@ def main():
     # Config 1 — block-sparse path (frozen buckets).
     culled = CulledRenderer(scene, width, height)
     culled.render(scene.camera, block=True)
-    culled.freeze(scene.camera, margin=2.0)
+    culled.freeze(scene.camera)
     culled_s = _bench_frames(lambda c: culled.render_fast(c), cams, n_frames)
 
     best_s = min(dense_s, culled_s)
@@ -81,7 +81,7 @@ def main():
         big = S.instanced_grid(scene, 8)
         big_r = CulledRenderer(big, width, height)
         big_r.render(big.camera, block=True)
-        big_r.freeze(big.camera, margin=2.0)
+        big_r.freeze(big.camera)
         big_poses = animation.orbit_camera_path(big.camera, 4, radius=20.0,
                                                 revolutions=0.02)
         big_s = _bench_frames(lambda c: big_r.render_fast(c),

@@ -72,12 +72,14 @@ def morton_order(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     return np.concatenate([order, np.arange(n_real, p0.shape[0])])
 
 
-def build_block_bvh(arrays: SceneArrays, n_real: int,
+def build_block_bvh(arrays: SceneArrays, n_real,
                     block_size: int = 128) -> BlockBVH:
     """Per-block AABBs over (already Morton-ordered) triangle arrays.
 
-    Padding triangles (index >= n_real) are ignored for bounds; a block that
-    is entirely padding gets an inverted AABB that no ray can hit. Triangle
+    Padding triangles are ignored for bounds; a block that is entirely
+    padding gets an inverted AABB that no ray can hit. `n_real` is either
+    the count of leading real triangles (tail padding) or a (T,) bool mask
+    (interleaved padding from the Morton-gap block alignment). Triangle
     AABB extents get the reference's 1e-4 floor (shared/state/util.go:7) so
     axis-aligned slivers remain hittable by the slab test.
     """
@@ -94,7 +96,8 @@ def build_block_bvh(arrays: SceneArrays, n_real: int,
     tri_lo = np.minimum(tri_lo, center - 5e-5)
     tri_hi = np.maximum(tri_hi, center + 5e-5)
 
-    valid = np.arange(t_pad) < n_real
+    valid = (np.asarray(n_real, bool) if np.ndim(n_real)
+             else np.arange(t_pad) < n_real)
     tri_lo = np.where(valid[:, None], tri_lo, np.inf)
     tri_hi = np.where(valid[:, None], tri_hi, -np.inf)
 
@@ -106,11 +109,77 @@ def build_block_bvh(arrays: SceneArrays, n_real: int,
                     block_size=block_size)
 
 
+def gap_aligned_slots(codes_sorted: np.ndarray, block_size: int,
+                      max_overhead: float = 0.35) -> np.ndarray:
+    """Slot map aligning leaf-block boundaries to Morton-code gaps.
+
+    Fixed 128-triangle runs straddle spatially distant clusters (e.g.
+    consecutive mesh instances), producing huge block AABBs that every
+    nearby ray tile retains. This groups the sorted triangles by their top
+    Morton bits and pads each group to a block_size multiple, so no block
+    spans a group boundary. The grouping level is chosen adaptively: the
+    finest top-bit prefix whose padding overhead stays under
+    `max_overhead`. Returns slots (T',) int64 with -1 = padding slot
+    (T' a block_size multiple); slots[i] >= 0 indexes the sorted triangle
+    order. Level 0 degenerates to the old contiguous layout.
+    """
+    n = codes_sorted.shape[0]
+
+    def pad(sz):
+        return -(-sz // block_size) * block_size
+
+    # Recursive refinement: split a [lo, hi) run at the next Morton level
+    # whenever the extra padding it costs fits in the (recursively shared)
+    # budget. Deeper levels only ever refine shallower ones, so stopping at
+    # the first unaffordable split is safe.
+    leaves = []
+
+    def split(lo, hi, level, budget):
+        size = hi - lo
+        if size <= block_size or level >= 21:
+            leaves.append((lo, hi))
+            return
+        shift = np.uint64(3 * (20 - level))
+        prefix = codes_sorted[lo:hi] >> shift
+        cuts = lo + np.flatnonzero(prefix[1:] != prefix[:-1]) + 1
+        bounds = np.concatenate([[lo], cuts, [hi]])
+        sizes = np.diff(bounds)
+        cost = int(sum(pad(s) for s in sizes) - pad(size))
+        if len(sizes) == 1:                    # no gap at this level
+            split(lo, hi, level + 1, budget)
+            return
+        if cost > budget:
+            leaves.append((lo, hi))
+            return
+        rem = budget - cost
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            share = rem * (b - a) // size
+            split(int(a), int(b), level + 1, share)
+
+    split(0, n, 0, int(n * max_overhead))
+
+    total = sum(pad(b - a) for a, b in leaves)
+    slots = np.full(total, -1, np.int64)
+    o = 0
+    for a, b in leaves:
+        slots[o:o + (b - a)] = np.arange(a, b)
+        o += pad(b - a)
+    return slots
+
+
 def reorder_scene(arrays: SceneArrays, order: np.ndarray) -> SceneArrays:
-    """Apply a triangle permutation to every per-triangle field."""
+    """Apply a triangle slot map to every per-triangle field.
+
+    Entries of -1 become all-zero padding triangles (degenerate: den = 0 and
+    num = 0 make every intersection test NaN-false in the kernels)."""
     per_tri = {"p0", "e1", "e2", "geo_n", "plane_d", "k_u", "k_v",
                "c_u", "c_v", "n0", "n1", "n2", "mat_id"}
-    return arrays._replace(**{
-        name: np.asarray(getattr(arrays, name))[order]
-        for name in per_tri
-    })
+    pad = order < 0
+
+    def take(name):
+        a = np.asarray(getattr(arrays, name))
+        out = a[np.maximum(order, 0)]
+        out[pad] = 0
+        return out
+
+    return arrays._replace(**{name: take(name) for name in per_tri})

@@ -202,20 +202,28 @@ class Scene:
         return sum(len(self.meshes[o.model].faces_v) for o in self.objects)
 
     def bake_bvh(self, block_size: int = 128, dtype=np.float32):
-        """bake() + Morton reorder + leaf-block AABBs.
+        """bake() + Morton reorder + gap-aligned leaf blocks + block AABBs.
 
         Returns (SceneArrays in Morton order, BlockBVH). The array analog of
         building the reference's R-trees at load time (mesh.go:139,
-        environment.go:183).
+        environment.go:183). Block boundaries align to Morton-code gaps
+        (bvh.gap_aligned_slots) so a leaf never spans spatially distant
+        clusters — padding triangles are degenerate zero rows.
         """
         from distributed_raytracer_tpu.models import bvh as bvh_mod
 
         arrays = self.bake(dtype=dtype, tri_pad=block_size)
-        order = bvh_mod.morton_order(
-            np.asarray(arrays.p0, np.float64), np.asarray(arrays.e1, np.float64),
-            np.asarray(arrays.e2, np.float64), self.num_tris)
-        arrays = bvh_mod.reorder_scene(arrays, order)
-        tree = bvh_mod.build_block_bvh(arrays, self.num_tris, block_size)
+        n_real = self.num_tris
+        p0 = np.asarray(arrays.p0, np.float64)
+        e1 = np.asarray(arrays.e1, np.float64)
+        e2 = np.asarray(arrays.e2, np.float64)
+        order = bvh_mod.morton_order(p0, e1, e2, n_real)[:n_real]
+        centroids = p0[:n_real] + (e1[:n_real] + e2[:n_real]) / 3.0
+        codes = bvh_mod.morton_codes(centroids)[order]
+        slots = bvh_mod.gap_aligned_slots(codes, block_size)
+        full = np.where(slots >= 0, order[np.maximum(slots, 0)], -1)
+        arrays = bvh_mod.reorder_scene(arrays, full)
+        tree = bvh_mod.build_block_bvh(arrays, slots >= 0, block_size)
         return arrays, tree
 
 

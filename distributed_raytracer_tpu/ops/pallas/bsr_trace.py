@@ -42,6 +42,24 @@ BIG_IDX = 2 ** 30      # plain int: jnp scalars would be captured tracer constan
 SEGMENT = 16384        # work items per pallas_call (3 x 64KB of SMEM prefetch)
 
 
+def bucket_w_pad(n: int, margin: float = 1.0) -> int:
+    """Static work-list capacity for a measured count.
+
+    Small counts round to a power of two (few recompiles while a scene
+    warms up); larger ones to a 2048-multiple per segment — pow2 rounding
+    wasted up to 2x of kernel grid at the 62K-tri benchmark's ~7K counts
+    (skipped padding slots are cheap but not free, ~0.27us each on v5e).
+    The result is always divisible by its segment count so _run_segments
+    slices the work list exactly.
+    """
+    n = max(256, int(n * margin))
+    if n <= 2048:
+        return 1 << (n - 1).bit_length()
+    n_seg = -(-n // SEGMENT)
+    g = 2048 * n_seg
+    return -(-n // g) * g
+
+
 # ---------------------------------------------------------------------------
 # Packing helpers
 # ---------------------------------------------------------------------------
@@ -74,6 +92,34 @@ def pack_rays_rows(origins: jnp.ndarray, d_rows: jnp.ndarray,
     return jnp.concatenate([o, d_rows, tmax, zero], axis=0)
 
 
+@jax.jit
+def pack_tris_origin(tris_packed: jnp.ndarray,
+                     origin: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame triangle rows for the shared-origin kernels.
+
+    When every ray in a launch has the SAME origin o (primary rays from the
+    camera; shadow rays reversed to start at their point light), the
+    origin-dependent dot products of Baldwin-Weber are per-triangle scalars:
+        num  = plane_d - n.o        (t = num / n.d)
+        a_u  = k_u.o + c_u          (u = a_u + t * k_u.d)
+        a_v  = k_v.o + c_v
+    Precomputing them here (one tiny dense op over all T triangles) removes
+    ~25% of the per-(ray, tri) VPU work from the hot kernels.
+
+    Input: the static (16, T) pack_tris rows. Output rows:
+      [nx, ny, nz, num, kux, kuy, kuz, a_u, kvx, kvy, kvz, a_v, 0...]
+    """
+    o = origin.reshape(3, 1)
+    n, pd = tris_packed[0:3], tris_packed[3:4]
+    ku, cu = tris_packed[4:7], tris_packed[7:8]
+    kv, cv = tris_packed[8:11], tris_packed[11:12]
+    num = pd - jnp.sum(n * o, axis=0, keepdims=True)
+    au = jnp.sum(ku * o, axis=0, keepdims=True) + cu
+    av = jnp.sum(kv * o, axis=0, keepdims=True) + cv
+    pad = jnp.zeros((4, tris_packed.shape[1]), jnp.float32)
+    return jnp.concatenate([n, num, ku, au, kv, av, pad], axis=0)
+
+
 def pack_rays(origins: jnp.ndarray, dirs: jnp.ndarray,
               t_max: jnp.ndarray | None = None) -> jnp.ndarray:
     """[8, R] float32 ray rows. origins (R,3) or (3,) shared."""
@@ -92,26 +138,38 @@ def pack_rays(origins: jnp.ndarray, dirs: jnp.ndarray,
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _pair_math(rays_ref, tris_ref):
-    """Shared (TB, RT) intersection math; returns (t, valid, gid_local)."""
+def _pair_math(rays_ref, tris_ref, shared_origin: bool):
+    """Shared (TB, RT) intersection math; returns (t, valid, gid_local).
+
+    shared_origin=True reads the pack_tris_origin layout (num/a_u/a_v
+    pre-folded with the common ray origin); False reads the static
+    pack_tris layout and per-ray origins from rays rows 0..2.
+    """
     def row(ref, r):  # [1, RT] lane vector
         return ref[r:r + 1, :]
 
     def col(r):       # [TB, 1] sublane vector from a triangle row
         return jnp.transpose(tris_ref[r:r + 1, :])
 
-    ox, oy, oz = row(rays_ref, 0), row(rays_ref, 1), row(rays_ref, 2)
     dx, dy, dz = row(rays_ref, 3), row(rays_ref, 4), row(rays_ref, 5)
 
-    nx, ny, nz, pd = col(0), col(1), col(2), col(3)
-    kux, kuy, kuz, cu = col(4), col(5), col(6), col(7)
-    kvx, kvy, kvz, cv = col(8), col(9), col(10), col(11)
+    nx, ny, nz = col(0), col(1), col(2)
+    kux, kuy, kuz = col(4), col(5), col(6)
+    kvx, kvy, kvz = col(8), col(9), col(10)
 
     den = nx * dx + ny * dy + nz * dz            # (TB, RT)
-    o_n = nx * ox + ny * oy + nz * oz
-    t = (pd - o_n) / den
-    u = (kux * ox + kuy * oy + kuz * oz + cu) + t * (kux * dx + kuy * dy + kuz * dz)
-    v = (kvx * ox + kvy * oy + kvz * oz + cv) + t * (kvx * dx + kvy * dy + kvz * dz)
+    if shared_origin:
+        t = col(3) / den                         # num / n.d
+        u = col(7) + t * (kux * dx + kuy * dy + kuz * dz)
+        v = col(11) + t * (kvx * dx + kvy * dy + kvz * dz)
+    else:
+        ox, oy, oz = row(rays_ref, 0), row(rays_ref, 1), row(rays_ref, 2)
+        o_n = nx * ox + ny * oy + nz * oz
+        t = (col(3) - o_n) / den
+        u = ((kux * ox + kuy * oy + kuz * oz + col(7))
+             + t * (kux * dx + kuy * dy + kuz * dz))
+        v = ((kvx * ox + kvy * oy + kvz * oz + col(11))
+             + t * (kvx * dx + kvy * dy + kvz * dz))
 
     eps = BARY_EPS
     valid = ((den != 0.0) & (t >= 0.0)
@@ -124,7 +182,7 @@ def _pair_math(rays_ref, tris_ref):
 
 def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
                     excl_ref, tris_ref, prev_t_ref, prev_i_ref, out_t_ref,
-                    out_i_ref, *, tb: int):
+                    out_i_ref, *, tb: int, shared_origin: bool):
     w = pl.program_id(0)
 
     # First step of a tile run: seed the VMEM accumulator from the carry.
@@ -146,7 +204,7 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
 
     @pl.when(live & worth_it)
     def _():
-        t, valid, gid_local = _pair_math(rays_ref, tris_ref)
+        t, valid, gid_local = _pair_math(rays_ref, tris_ref, shared_origin)
         gid = block_ids[w] * tb + gid_local
         valid = valid & (gid != excl_ref[0:1, :])
         cand = jnp.where(valid, t, jnp.inf)
@@ -158,7 +216,7 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
 
 
 def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
-                tris_ref, prev_ref, out_ref, *, tb: int):
+                tris_ref, prev_ref, out_ref, *, tb: int, shared_origin: bool):
     w = pl.program_id(0)
 
     @pl.when(first[w] == 1)
@@ -173,7 +231,7 @@ def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
 
     @pl.when(live & not_done)
     def _():
-        t, valid, gid_local = _pair_math(rays_ref, tris_ref)
+        t, valid, gid_local = _pair_math(rays_ref, tris_ref, shared_origin)
         gid = block_ids[w] * tb + gid_local
         valid = valid & (gid != excl_ref[0:1, :])
         tmax = rays_ref[6:7, :]
@@ -216,7 +274,10 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
     excl2 = exclude[None, :]
     out_shape = tuple(jax.ShapeDtypeStruct((1, r), a.dtype) for a in init)
     n_seg = -(-w_pad // SEGMENT)
-    w_seg = min(w_pad, SEGMENT)
+    if w_pad % n_seg:
+        raise ValueError(f"w_pad={w_pad} not divisible into {n_seg} segments; "
+                         "use bucket_w_pad()")
+    w_seg = w_pad // n_seg
     grid_spec = _grid_spec(w_seg, rt, tb, n_acc)
 
     def one_segment(carry, seg_start):
@@ -242,17 +303,20 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
     return carry
 
 
-@functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret",
+                                              "shared_origin"))
 def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
                 count=None, *, rt: int, tb: int, w_pad: int,
-                interpret: bool = False):
+                interpret: bool = False, shared_origin: bool = False):
     """Nearest hit over the work list: (best_t (R,), best_idx (R,)).
 
     Outputs are defined ONLY for ray tiles that appear in the work list —
     unvisited output blocks are never written (undefined memory). Callers
     mask by per-tile visited flags (the cull guarantees unvisited tiles hit
     nothing). `count` = number of real work items; padding slots past it are
-    skipped in-kernel (None = treat all w_pad as real).
+    skipped in-kernel (None = treat all w_pad as real). With
+    shared_origin=True, tris_packed must be the pack_tris_origin layout for
+    the launch's common ray origin.
     """
     r = rays_packed.shape[1]
     if count is None:
@@ -260,26 +324,33 @@ def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
     init = (jnp.full((1, r), jnp.inf, jnp.float32),
             jnp.full((1, r), BIG_IDX, jnp.int32))
     out_t, out_i = _run_segments(
-        functools.partial(_nearest_kernel, tb=tb), 2, init,
+        functools.partial(_nearest_kernel, tb=tb, shared_origin=shared_origin),
+        2, init,
         rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
         rt=rt, tb=tb, w_pad=w_pad, interpret=interpret)
     return out_t[0], out_i[0]
 
 
-@functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret",
+                                              "shared_origin"))
 def bsr_any(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
-            count=None, *, rt: int, tb: int, w_pad: int,
-            interpret: bool = False):
+            count=None, init=None, *, rt: int, tb: int, w_pad: int,
+            interpret: bool = False, shared_origin: bool = False):
     """Any-hit (shadow) query with per-ray t_max. Returns int32 (R,) 0/1.
 
-    Same visited-tiles-only output contract as bsr_nearest.
+    Same visited-tiles-only output contract as bsr_nearest. `init` (R,)
+    int32 pre-seeds the accumulator: marking dead rays (misses, zero-Ks)
+    as already-hit lets whole tiles early-exit as soon as every *live* ray
+    is occluded — callers mask dead rays out of the result anyway.
     """
     r = rays_packed.shape[1]
     if count is None:
         count = jnp.int32(w_pad)
-    init = (jnp.zeros((1, r), jnp.int32),)
+    init = (jnp.zeros((1, r), jnp.int32) if init is None
+            else init.reshape(1, r).astype(jnp.int32),)
     (out,) = _run_segments(
-        functools.partial(_any_kernel, tb=tb), 1, init,
+        functools.partial(_any_kernel, tb=tb, shared_origin=shared_origin),
+        1, init,
         rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
         rt=rt, tb=tb, w_pad=w_pad, interpret=interpret)
     return out[0]

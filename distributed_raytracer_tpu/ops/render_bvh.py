@@ -52,6 +52,11 @@ def _next_pow2(n: int) -> int:
     return 1 << max(8, int(n - 1).bit_length())
 
 
+# Work-list capacity rounding: 2048-granular (see bsr_trace.bucket_w_pad) —
+# pow2 rounding wasted up to 2x of every kernel launch.
+_bucket = bsr_trace.bucket_w_pad
+
+
 class CulledRenderer:
     """Per-(scene, resolution) renderer instance with cached jit stages."""
 
@@ -73,6 +78,17 @@ class CulledRenderer:
         self.shade_tbl = jax.device_put(shade.pack_table(self.arrays))
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
+        # Per-light shared-origin triangle packs for the REVERSED shadow
+        # kernels (bsr_trace.pack_tris_origin): (16, L*T), light l's copy at
+        # columns [l*T, (l+1)*T). Lights are static per bake.
+        n_lights = int(arrays.light_pos.shape[0])
+        if n_lights:
+            self.tris_lights = jax.device_put(jnp.concatenate(
+                [bsr_trace.pack_tris_origin(self.tris_packed,
+                                            self.arrays.light_pos[li])
+                 for li in range(n_lights)], axis=1))
+        else:
+            self.tris_lights = self.tris_packed
 
         # 2D screen tiles (32 x rt/32 pixels): see module docstring.
         self.tile_w = 32
@@ -125,12 +141,13 @@ class CulledRenderer:
         no block can be hit, so nearest=inf / any-hit=0 by construction."""
         return jnp.repeat(mask.any(axis=1), self.rt)
 
-    def _nearest(self, w_pad, scene, tris_packed, rays, exclude, mask, entry):
+    def _nearest(self, w_pad, scene, tris_packed, rays, exclude, mask, entry,
+                 shared_origin=False):
         wl = cull.compact_worklist(mask, w_pad, entry=entry)
         best_t, best_i = bsr_trace.bsr_nearest(
             rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
             wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
-            interpret=self.interpret)
+            interpret=self.interpret, shared_origin=shared_origin)
         best_t = jnp.where(self._visited(mask), best_t, jnp.inf)
         return intersect.Hits(t=best_t,
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
@@ -143,8 +160,8 @@ class CulledRenderer:
         lists."""
         smasks, sentries = [], []
         for li in range(prep.q.shape[0]):
-            ti = cull.tile_intervals_packed(prep.q[li], self.rt, live=live,
-                                            use_tmax=True)
+            ti = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
+                                            live=live, use_tmax=True)
             m, e = cull.block_mask_with_entry(ti, block_lo, block_hi)
             smasks.append(m)
             sentries.append(e)
@@ -158,32 +175,54 @@ class CulledRenderer:
     def _stage_b_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
                     shade_tbl, block_lo, block_hi, rays, mask, entry):
         no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
-        hits = self._nearest(w_pad, scene, tris_packed, rays, no_excl,
-                             mask, entry)
+        # Primary rays share the camera origin (rays rows 0..2 are a
+        # broadcast of cam.pos): fold it into the triangle rows per frame
+        # and run the cheaper shared-origin kernel.
+        tris_cam = bsr_trace.pack_tris_origin(tris_packed, rays[0:3, 0])
+        hits = self._nearest(w_pad, scene, tris_cam, rays, no_excl,
+                             mask, entry, shared_origin=True)
         prep = shade.prepare_packed(scene, rays, hits, self.cfg,
                                     table=shade_tbl)
         smasks, sentries = self._light_masks(prep, hits.valid,
                                              block_lo, block_hi)
-        return hits, prep, smasks, sentries, smasks.sum(axis=(1, 2))
+        return hits, prep, smasks, sentries, smasks.sum()
 
     # -- stage C: shadow queries + shading -------------------------------
 
-    def _lit(self, w_pads, tris_packed, prep, hits, smasks, sentries):
-        lit = []
-        for li in range(prep.q.shape[0]):
-            wl = cull.compact_worklist(smasks[li], w_pads[li],
-                                       entry=sentries[li])
-            hit = bsr_trace.bsr_any(
-                prep.q[li], hits.tri, tris_packed, wl.tile_ids, wl.block_ids,
-                wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pads[li],
-                interpret=self.interpret)
-            lit.append(jnp.where(self._visited(smasks[li]), hit == 0, True))
-        return (jnp.stack(lit) if lit
-                else jnp.zeros((0, self.n_pad), bool))
+    def _lit(self, w_pad_sh: int, tris_lights, prep, hits, smasks, sentries):
+        """All lights' shadow queries in ONE bsr_any launch: the (light,
+        tile) pairs become the tile axis of a single work list (one
+        compaction sort, one kernel, one set of padding slots instead of
+        one each per light). Dead rays pre-seed the accumulator as 'hit'
+        so fully-occluded tiles early-exit on live rays alone."""
+        n_lights = prep.q.shape[0]
+        if n_lights == 0:
+            return jnp.zeros((0, self.n_pad), bool)
+        nb = smasks.shape[2]
+        n_tris = tris_lights.shape[1] // max(n_lights, 1)
+        mask = smasks.reshape(n_lights * self.n_tiles, -1)
+        entry = sentries.reshape(n_lights * self.n_tiles, -1)
+        wl = cull.compact_worklist(mask, w_pad_sh, entry=entry)
+        q = prep.q_rev.transpose(1, 0, 2).reshape(8, n_lights * self.n_pad)
+        # Each light's rays share its origin; the per-light origin-folded
+        # triangle copies sit at block offset light*nb (column light*T).
+        light_of = wl.tile_ids // self.n_tiles
+        block_ids = light_of * nb + wl.block_ids
+        excl = (hits.tri[None, :]
+                + (jnp.arange(n_lights, dtype=jnp.int32) * n_tris)[:, None]
+                ).reshape(-1)
+        dead = jnp.tile(~hits.valid, (n_lights,)).astype(jnp.int32)
+        hit = bsr_trace.bsr_any(
+            q, excl, tris_lights, wl.tile_ids, block_ids,
+            wl.entry, wl.count, dead, rt=self.rt, tb=self.tb,
+            w_pad=w_pad_sh, interpret=self.interpret, shared_origin=True)
+        hit = hit.reshape(n_lights, self.n_pad)
+        visited = jnp.repeat(smasks.any(axis=2), self.rt, axis=1)
+        return jnp.where(visited, hit == 0, True)
 
-    def _stage_c_fn(self, w_pads: tuple, scene: SceneArrays, tris_packed,
+    def _stage_c_fn(self, w_pad_sh: int, scene: SceneArrays, tris_lights,
                     cam: CameraArrays, hits, prep, smasks, sentries):
-        lit = self._lit(w_pads, tris_packed, prep, hits, smasks, sentries)
+        lit = self._lit(w_pad_sh, tris_lights, prep, hits, smasks, sentries)
         colours = shade.shade_core_packed(scene, cam.pos, prep, hits, lit)
         return self._assemble(colours)
 
@@ -231,14 +270,14 @@ class CulledRenderer:
                                              block_lo, block_hi)
         r_rays, r_live, r_mask, r_entry, r_count = self._reflection_query(
             prep, hits, rays)
-        return (hits, prep, smasks, sentries, smasks.sum(axis=(1, 2)),
+        return (hits, prep, smasks, sentries, smasks.sum(),
                 r_rays, r_live, r_mask, r_entry, r_count)
 
-    def _stage_shade_fn(self, w_pads: tuple, scene: SceneArrays, tris_packed,
+    def _stage_shade_fn(self, w_pad_sh: int, scene: SceneArrays, tris_lights,
                         view, hits, prep, smasks, sentries):
-        """Per-light shadow queries + phong for one bounce -> (3, C) local
+        """Fused shadow query + phong for one bounce -> (3, C) local
         radiance rows (not yet throughput-weighted)."""
-        lit = self._lit(w_pads, tris_packed, prep, hits, smasks, sentries)
+        lit = self._lit(w_pad_sh, tris_lights, prep, hits, smasks, sentries)
         return shade.shade_core_packed(scene, view, prep, hits, lit)
 
     def render_bounced(self, camera, depth: int, block: bool = False):
@@ -261,18 +300,18 @@ class CulledRenderer:
         pads_used = []
 
         for b in range(depth + 1):
-            w_pad = _next_pow2(int(count))
+            w_pad = _bucket(int(count))
             sb = jit_for(self._stage_b_cache, ("bounce", w_pad),
                          self._stage_bounce_fn, w_pad)
-            (hits, prep, smasks, sentries, scounts,
+            (hits, prep, smasks, sentries, scount,
              r_rays, r_live, r_mask, r_entry, r_count) = sb(
                 self.arrays, self.tris_packed, self.shade_tbl,
                 self.block_lo, self.block_hi, rays, exclude, mask, entry)
-            w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
-            pads_used.append((w_pad, w_pads))
-            sc = jit_for(self._stage_c_cache, ("shade", b > 0, w_pads),
-                         self._stage_shade_fn, w_pads)
-            local = sc(self.arrays, self.tris_packed, view, hits, prep,
+            w_pad_sh = _bucket(int(scount))
+            pads_used.append((w_pad, w_pad_sh))
+            sc = jit_for(self._stage_c_cache, ("shade", b > 0, w_pad_sh),
+                         self._stage_shade_fn, w_pad_sh)
+            local = sc(self.arrays, self.tris_lights, view, hits, prep,
                        smasks, sentries)
             colour = colour + throughput * local
             if b == depth:
@@ -292,7 +331,7 @@ class CulledRenderer:
         return img
 
     def _full_bounced_fn(self, pads: tuple, scene: SceneArrays, tris_packed,
-                         shade_tbl, block_lo, block_hi, perm,
+                         tris_lights, shade_tbl, block_lo, block_hi, perm,
                          cam: CameraArrays):
         """Fused multi-bounce pipeline with fixed buckets (no host syncs)."""
         rays, mask, entry, _ = self._stage_a_fn(cam, perm, block_lo, block_hi)
@@ -300,12 +339,12 @@ class CulledRenderer:
         throughput = jnp.ones((3, self.n_pad), jnp.float32)
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
-        for b, (w_pad, w_pads) in enumerate(pads):
+        for b, (w_pad, w_pad_sh) in enumerate(pads):
             (hits, prep, smasks, sentries, _,
              r_rays, _, r_mask, r_entry, _) = self._stage_bounce_fn(
                 w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
                 rays, exclude, mask, entry)
-            local = self._stage_shade_fn(w_pads, scene, tris_packed, view,
+            local = self._stage_shade_fn(w_pad_sh, scene, tris_lights, view,
                                          hits, prep, smasks, sentries)
             colour = colour + throughput * local
             if b + 1 == len(pads):
@@ -319,20 +358,20 @@ class CulledRenderer:
         colour = jnp.clip(colour, 0.0, 1.0)
         return self._assemble(colour)
 
-    def freeze_bounced(self, camera, depth: int, margin: float = 2.0):
+    def freeze_bounced(self, camera, depth: int, margin: float = 1.4):
         """Fuse the multi-bounce pipeline with buckets sized from one sync
         render x margin. Returns the fused render function."""
         self.render_bounced(camera, depth, block=True)
         pads = tuple(
-            (_next_pow2(int(w * margin)),
-             tuple(_next_pow2(int(c * margin)) for c in wl))
-            for (w, wl) in self._last_bounce_pads)
+            (_bucket(w, margin), _bucket(wsh, margin))
+            for (w, wsh) in self._last_bounce_pads)
         fused = jax.jit(functools.partial(self._full_bounced_fn, pads))
 
         def render(cam):
             c = cam.to_arrays() if isinstance(cam, Camera) else cam
-            return fused(self.arrays, self.tris_packed, self.shade_tbl,
-                         self.block_lo, self.block_hi, self._perm, c)
+            return fused(self.arrays, self.tris_packed, self.tris_lights,
+                         self.shade_tbl, self.block_lo, self.block_hi,
+                         self._perm, c)
 
         return render
 
@@ -343,24 +382,24 @@ class CulledRenderer:
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         rays, mask, entry, count = self._stage_a(
             cam, self._perm, self.block_lo, self.block_hi)
-        w_pad = _next_pow2(int(count))
+        w_pad = _bucket(int(count))
 
         stage_b = self._stage_b_cache.get(w_pad)
         if stage_b is None:
             stage_b = jax.jit(functools.partial(self._stage_b_fn, w_pad))
             self._stage_b_cache[w_pad] = stage_b
-        hits, prep, smasks, sentries, scounts = stage_b(
+        hits, prep, smasks, sentries, scount = stage_b(
             self.arrays, self.tris_packed, self.shade_tbl,
             self.block_lo, self.block_hi, rays, mask, entry)
 
-        w_pads = tuple(_next_pow2(int(c)) for c in np.asarray(scounts))
-        stage_c = self._stage_c_cache.get(w_pads)
+        w_pad_sh = _bucket(int(scount))
+        stage_c = self._stage_c_cache.get(w_pad_sh)
         if stage_c is None:
-            stage_c = jax.jit(functools.partial(self._stage_c_fn, w_pads))
-            self._stage_c_cache[w_pads] = stage_c
-        img = stage_c(self.arrays, self.tris_packed, cam, hits, prep,
+            stage_c = jax.jit(functools.partial(self._stage_c_fn, w_pad_sh))
+            self._stage_c_cache[w_pad_sh] = stage_c
+        img = stage_c(self.arrays, self.tris_lights, cam, hits, prep,
                       smasks, sentries)
-        self._last_counts = (int(count), tuple(int(c) for c in np.asarray(scounts)))
+        self._last_counts = (int(count), int(scount))
         if block:
             jax.block_until_ready(img)
         return img
@@ -375,30 +414,30 @@ class CulledRenderer:
     # should be used periodically / during warmup to confirm margins hold;
     # on overflow freeze() is simply called again with the new counts.
 
-    def _full_fn(self, w_pad: int, w_pads: tuple, scene: SceneArrays,
-                 tris_packed, shade_tbl, block_lo, block_hi, perm,
-                 cam: CameraArrays):
+    def _full_fn(self, w_pad: int, w_pad_sh: int, scene: SceneArrays,
+                 tris_packed, tris_lights, shade_tbl, block_lo, block_hi,
+                 perm, cam: CameraArrays):
         rays, mask, entry, count = self._stage_a_fn(cam, perm, block_lo,
                                                     block_hi)
-        hits, prep, smasks, sentries, scounts = self._stage_b_fn(
+        hits, prep, smasks, sentries, scount = self._stage_b_fn(
             w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
             rays, mask, entry)
-        img = self._stage_c_fn(w_pads, scene, tris_packed, cam, hits, prep,
-                               smasks, sentries)
-        return img, count, scounts
+        img = self._stage_c_fn(w_pad_sh, scene, tris_lights, cam, hits,
+                               prep, smasks, sentries)
+        return img, count, scount
 
-    def freeze(self, camera=None, margin: float = 2.0) -> None:
+    def freeze(self, camera=None, margin: float = 1.4) -> None:
         """Fix work-list buckets from the last sync render (running one if
         needed) and compile the fused no-sync pipeline."""
         if self._last_counts is None:
             if camera is None:
                 raise ValueError("freeze() needs a camera for the sizing render")
             self.render(camera, block=True)
-        count, scounts = self._last_counts
-        w_pad = _next_pow2(int(count * margin))
-        w_pads = tuple(_next_pow2(int(c * margin)) for c in scounts)
-        self._fused = jax.jit(functools.partial(self._full_fn, w_pad, w_pads))
-        self._frozen_pads = (w_pad, w_pads)
+        count, scount = self._last_counts
+        w_pad = _bucket(count, margin)
+        w_pad_sh = _bucket(scount, margin)
+        self._fused = jax.jit(functools.partial(self._full_fn, w_pad, w_pad_sh))
+        self._frozen_pads = (w_pad, w_pad_sh)
 
     def render_fast(self, camera, verify: bool = False):
         """One fused dispatch, no host syncs. Returns a device array; with
@@ -407,17 +446,17 @@ class CulledRenderer:
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         if self._fused is None:
             self.freeze(camera)
-        img, count, scounts = self._fused(
-            self.arrays, self.tris_packed, self.shade_tbl,
+        img, count, scount = self._fused(
+            self.arrays, self.tris_packed, self.tris_lights, self.shade_tbl,
             self.block_lo, self.block_hi, self._perm, cam)
         if verify:
-            w_pad, w_pads = self._frozen_pads
-            c = int(count)
-            sc = tuple(int(x) for x in np.asarray(scounts))
-            if c > w_pad or any(s > wp for s, wp in zip(sc, w_pads)):
+            w_pad, w_pad_sh = self._frozen_pads
+            c, sc = int(count), int(scount)
+            if c > w_pad or sc > w_pad_sh:
                 self._last_counts = (c, sc)
                 self.freeze(camera)
                 img, _, _ = self._fused(
-                    self.arrays, self.tris_packed, self.shade_tbl,
-                    self.block_lo, self.block_hi, self._perm, cam)
+                    self.arrays, self.tris_packed, self.tris_lights,
+                    self.shade_tbl, self.block_lo, self.block_hi,
+                    self._perm, cam)
         return img

@@ -153,6 +153,15 @@ class PackedPrep(NamedTuple):
     ks: jnp.ndarray       # (3, C)
     ns: jnp.ndarray       # (C,)
     q: jnp.ndarray        # (L, 8, C) packed shadow rays (t_max in row 6)
+    q_rev: jnp.ndarray    # (L, 8, C) REVERSED shadow rays: origin = the
+    #   light, direction toward the (offset) surface point, t_max = the full
+    #   segment length. Occlusion over [light, offset point] equals the
+    #   forward query's [offset point, light] segment — same triangles, same
+    #   epsilons at the surface end — but gives every ray of a light the
+    #   SAME origin, enabling the shared-origin kernels (bsr_trace
+    #   pack_tris_origin) and exact (point) origin interval hulls for the
+    #   cull. Sole divergence: an occluder within shadow_offset (1e-4) of
+    #   the light itself is seen by the reversed ray only.
 
 
 def _normalize_rows(v):
@@ -186,7 +195,7 @@ def prepare_packed(scene: SceneArrays, rays: jnp.ndarray,
     geo = g[18:21]
 
     zero = jnp.zeros((1, x.shape[1]), jnp.float32)
-    qs = []
+    qs, qrs = [], []
     for li in range(scene.light_pos.shape[0]):
         lpos = scene.light_pos[li]
         to_light = lpos[:, None] - x
@@ -197,11 +206,19 @@ def prepare_packed(scene: SceneArrays, rays: jnp.ndarray,
                   + (cfg.shadow_normal_offset * side)[None, :] * geo)
         tmax = (ldist - cfg.shadow_offset)[None, :]
         qs.append(jnp.concatenate([origin, ldir, tmax, zero], axis=0))
+        # Reversed query: light -> offset surface point (see q_rev docs).
+        back = origin - lpos[:, None]
+        blen = jnp.sqrt(jnp.sum(back * back, axis=0, keepdims=True))
+        bdir = back / jnp.where(blen > 0, blen, 1.0)
+        lorg = jnp.broadcast_to(lpos[:, None], origin.shape)
+        qrs.append(jnp.concatenate([lorg, bdir, blen, zero], axis=0))
     q = (jnp.stack(qs) if qs
          else jnp.zeros((0, 8, x.shape[1]), jnp.float32))
+    q_rev = (jnp.stack(qrs) if qrs
+             else jnp.zeros((0, 8, x.shape[1]), jnp.float32))
     return PackedPrep(x=x, normal=normal, geo_n=geo,
                       ka=g[21:24], kd=g[24:27], ks=g[27:30], ns=g[30],
-                      q=q)
+                      q=q, q_rev=q_rev)
 
 
 def shade_core_packed(scene: SceneArrays, view: jnp.ndarray,

@@ -32,7 +32,7 @@ except AttributeError:  # pragma: no cover
 
 from distributed_raytracer_tpu.models.camera import Camera, CameraArrays
 from distributed_raytracer_tpu.models.scene import Scene
-from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer, _next_pow2
+from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer, _bucket
 from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
 
 AXIS = "bands"
@@ -63,7 +63,7 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
 
     # Sizing pass: run each band's stages on one device, take the max
     # bucket over bands (static under shard_map).
-    max_count, max_scounts = 0, None
+    max_count, max_scount = 0, 0
     base_perm = np.asarray(band._perm)
     for b in range(n):
         band._perm = jax.device_put(
@@ -72,25 +72,24 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
         band.render(camera, block=True)
         c, sc = band._last_counts
         max_count = max(max_count, c)
-        max_scounts = (sc if max_scounts is None
-                       else tuple(max(a, x) for a, x in zip(max_scounts, sc)))
+        max_scount = max(max_scount, sc)
     band._perm = jax.device_put(jnp.asarray(base_perm))
-    w_pad = _next_pow2(int(max_count * margin))
-    w_pads = tuple(_next_pow2(int(c * margin)) for c in max_scounts)
+    w_pad = _bucket(max_count, margin)
+    w_pad_sh = _bucket(max_scount, margin)
 
-    def shard_fn(scene_arrays, tris_packed, shade_tbl, block_lo, block_hi,
-                 perm, cam: CameraArrays):
+    def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
+                 block_lo, block_hi, perm, cam: CameraArrays):
         me = jax.lax.axis_index(AXIS)
         my_perm = jnp.minimum(perm + me * (h_band * width),
                               width * height - 1)
         img, _, _ = band._full_fn(
-            w_pad, w_pads, scene_arrays, tris_packed, shade_tbl,
-            block_lo, block_hi, my_perm, cam)
+            w_pad, w_pad_sh, scene_arrays, tris_packed, tris_lights,
+            shade_tbl, block_lo, block_hi, my_perm, cam)
         return img  # (h_band, width, 3)
 
     sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(AXIS),
         # Pallas out_shapes carry no varying-mesh-axes annotation; the
         # kernels touch no collectives, so skip the vma typecheck.
@@ -99,7 +98,8 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
     device_fn_jit = jax.jit(sharded)
 
     def device_fn(cam: CameraArrays):
-        return device_fn_jit(band.arrays, band.tris_packed, band.shade_tbl,
+        return device_fn_jit(band.arrays, band.tris_packed,
+                             band.tris_lights, band.shade_tbl,
                              band.block_lo, band.block_hi, band._perm, cam)
 
     def render(cam) -> np.ndarray:
@@ -109,5 +109,5 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
 
     render.device_fn = device_fn
     render.band = band
-    render.buckets = (w_pad, w_pads)
+    render.buckets = (w_pad, w_pad_sh)
     return render
