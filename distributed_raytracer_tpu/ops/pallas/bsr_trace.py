@@ -182,7 +182,8 @@ def _pair_math(rays_ref, tris_ref, shared_origin: bool):
 
 def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
                     excl_ref, tris_ref, prev_t_ref, prev_i_ref, out_t_ref,
-                    out_i_ref, *, tb: int, shared_origin: bool):
+                    out_i_ref, *, tb: int, shared_origin: bool,
+                    use_exit: bool = False):
     w = pl.program_id(0)
 
     # First step of a tile run: seed the VMEM accumulator from the carry.
@@ -196,13 +197,18 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
     # their index maps repeat the previous block, so they trigger no DMA
     # either — a padded-to-pow2 work list costs ~nothing beyond its length.
     live = w < nreal[0]
-    # Front-to-back early exit: the work list sorts each tile's blocks by
-    # conservative entry distance, so once every ray's current-best hit is
-    # closer than this block's entry, no later block can improve anything.
-    # (1e-4 slack guards the f32 interval arithmetic of the bound.)
-    worth_it = entry[w] <= jnp.max(out_t_ref[:, :]) + 1e-4
+    # Front-to-back early exit (use_exit): the work list sorts each tile's
+    # blocks by conservative entry distance, so once every ray's current-best
+    # hit is closer than this block's entry, no later block can improve
+    # anything. (1e-4 slack guards the f32 interval arithmetic.) DISABLED by
+    # default: the jnp.max makes the pl.when predicate depend on the vector
+    # core's output, stalling the scalar core's DMA run-ahead every grid
+    # step — measured ~1.4us/step on v5e, far more than the skipped math
+    # (~0.8us/step) ever saved.
+    if use_exit:
+        live = live & (entry[w] <= jnp.max(out_t_ref[:, :]) + 1e-4)
 
-    @pl.when(live & worth_it)
+    @pl.when(live)
     def _():
         t, valid, gid_local = _pair_math(rays_ref, tris_ref, shared_origin)
         gid = block_ids[w] * tb + gid_local
@@ -216,7 +222,8 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
 
 
 def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
-                tris_ref, prev_ref, out_ref, *, tb: int, shared_origin: bool):
+                tris_ref, prev_ref, out_ref, *, tb: int, shared_origin: bool,
+                use_exit: bool = False):
     w = pl.program_id(0)
 
     @pl.when(first[w] == 1)
@@ -224,12 +231,12 @@ def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
         out_ref[:, :] = prev_ref[:, :]
 
     live = w < nreal[0]
-    # Early exit: once every ray in the tile is shadowed, remaining blocks
-    # are no-ops (front-to-back order makes this fire early — near blockers
-    # are tested first).
-    not_done = jnp.min(out_ref[:, :]) == 0
+    # Early exit disabled by default: see _nearest_kernel — the vector-
+    # dependent predicate costs more in scalar-core stalls than it saves.
+    if use_exit:
+        live = live & (jnp.min(out_ref[:, :]) == 0)
 
-    @pl.when(live & not_done)
+    @pl.when(live)
     def _():
         t, valid, gid_local = _pair_math(rays_ref, tris_ref, shared_origin)
         gid = block_ids[w] * tb + gid_local

@@ -153,15 +153,16 @@ class CulledRenderer:
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
                               valid=jnp.isfinite(best_t))
 
-    def _light_masks(self, prep, live, block_lo, block_hi):
+    def _light_masks(self, prep, live_l, block_lo, block_hi):
         """Per-light conservative cull masks for the shadow queries. Dead
-        rays (misses) are masked out of the tile hulls
+        rays (misses, and rays this light provably cannot colour —
+        shade.light_gates) are masked out of the tile hulls
         (cull.tile_intervals_packed live=) so they never widen the work
         lists."""
         smasks, sentries = [], []
         for li in range(prep.q.shape[0]):
             ti = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
-                                            live=live, use_tmax=True)
+                                            live=live_l[li], use_tmax=True)
             m, e = cull.block_mask_with_entry(ti, block_lo, block_hi)
             smasks.append(m)
             sentries.append(e)
@@ -183,17 +184,20 @@ class CulledRenderer:
                              mask, entry, shared_origin=True)
         prep = shade.prepare_packed(scene, rays, hits, self.cfg,
                                     table=shade_tbl)
-        smasks, sentries = self._light_masks(prep, hits.valid,
+        live_l = shade.light_gates(scene, rays[0:3, 0], prep, hits.valid)
+        smasks, sentries = self._light_masks(prep, live_l,
                                              block_lo, block_hi)
-        return hits, prep, smasks, sentries, smasks.sum()
+        return hits, prep, live_l, smasks, sentries, smasks.sum()
 
     # -- stage C: shadow queries + shading -------------------------------
 
-    def _lit(self, w_pad_sh: int, tris_lights, prep, hits, smasks, sentries):
+    def _lit(self, w_pad_sh: int, tris_lights, prep, hits, live_l,
+             smasks, sentries):
         """All lights' shadow queries in ONE bsr_any launch: the (light,
         tile) pairs become the tile axis of a single work list (one
         compaction sort, one kernel, one set of padding slots instead of
-        one each per light). Dead rays pre-seed the accumulator as 'hit'
+        one each per light). Dead rays (per-light: misses + zero-potential-
+        contribution, shade.light_gates) pre-seed the accumulator as 'hit'
         so fully-occluded tiles early-exit on live rays alone."""
         n_lights = prep.q.shape[0]
         if n_lights == 0:
@@ -211,7 +215,7 @@ class CulledRenderer:
         excl = (hits.tri[None, :]
                 + (jnp.arange(n_lights, dtype=jnp.int32) * n_tris)[:, None]
                 ).reshape(-1)
-        dead = jnp.tile(~hits.valid, (n_lights,)).astype(jnp.int32)
+        dead = (~live_l).reshape(-1).astype(jnp.int32)
         hit = bsr_trace.bsr_any(
             q, excl, tris_lights, wl.tile_ids, block_ids,
             wl.entry, wl.count, dead, rt=self.rt, tb=self.tb,
@@ -221,8 +225,9 @@ class CulledRenderer:
         return jnp.where(visited, hit == 0, True)
 
     def _stage_c_fn(self, w_pad_sh: int, scene: SceneArrays, tris_lights,
-                    cam: CameraArrays, hits, prep, smasks, sentries):
-        lit = self._lit(w_pad_sh, tris_lights, prep, hits, smasks, sentries)
+                    cam: CameraArrays, hits, prep, live_l, smasks, sentries):
+        lit = self._lit(w_pad_sh, tris_lights, prep, hits, live_l,
+                        smasks, sentries)
         colours = shade.shade_core_packed(scene, cam.pos, prep, hits, lit)
         return self._assemble(colours)
 
@@ -259,25 +264,29 @@ class CulledRenderer:
 
     def _stage_bounce_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
                          shade_tbl, block_lo, block_hi, rays, exclude,
-                         mask, entry):
+                         mask, entry, view):
         """Nearest + shadow masks for an arbitrary packed ray set; also
-        emits the next bounce's reflection query."""
+        emits the next bounce's reflection query. `view` is the viewer the
+        shading stage will use (the camera, or the previous hit points) —
+        needed here so the light gates match the shading exactly."""
         hits = self._nearest(w_pad, scene, tris_packed, rays, exclude,
                              mask, entry)
         prep = shade.prepare_packed(scene, rays, hits, self.cfg,
                                     table=shade_tbl)
-        smasks, sentries = self._light_masks(prep, hits.valid,
+        live_l = shade.light_gates(scene, view, prep, hits.valid)
+        smasks, sentries = self._light_masks(prep, live_l,
                                              block_lo, block_hi)
         r_rays, r_live, r_mask, r_entry, r_count = self._reflection_query(
             prep, hits, rays)
-        return (hits, prep, smasks, sentries, smasks.sum(),
+        return (hits, prep, live_l, smasks, sentries, smasks.sum(),
                 r_rays, r_live, r_mask, r_entry, r_count)
 
     def _stage_shade_fn(self, w_pad_sh: int, scene: SceneArrays, tris_lights,
-                        view, hits, prep, smasks, sentries):
+                        view, hits, prep, live_l, smasks, sentries):
         """Fused shadow query + phong for one bounce -> (3, C) local
         radiance rows (not yet throughput-weighted)."""
-        lit = self._lit(w_pad_sh, tris_lights, prep, hits, smasks, sentries)
+        lit = self._lit(w_pad_sh, tris_lights, prep, hits, live_l,
+                        smasks, sentries)
         return shade.shade_core_packed(scene, view, prep, hits, lit)
 
     def render_bounced(self, camera, depth: int, block: bool = False):
@@ -303,16 +312,17 @@ class CulledRenderer:
             w_pad = _bucket(int(count))
             sb = jit_for(self._stage_b_cache, ("bounce", w_pad),
                          self._stage_bounce_fn, w_pad)
-            (hits, prep, smasks, sentries, scount,
+            (hits, prep, live_l, smasks, sentries, scount,
              r_rays, r_live, r_mask, r_entry, r_count) = sb(
                 self.arrays, self.tris_packed, self.shade_tbl,
-                self.block_lo, self.block_hi, rays, exclude, mask, entry)
+                self.block_lo, self.block_hi, rays, exclude, mask, entry,
+                view)
             w_pad_sh = _bucket(int(scount))
             pads_used.append((w_pad, w_pad_sh))
             sc = jit_for(self._stage_c_cache, ("shade", b > 0, w_pad_sh),
                          self._stage_shade_fn, w_pad_sh)
             local = sc(self.arrays, self.tris_lights, view, hits, prep,
-                       smasks, sentries)
+                       live_l, smasks, sentries)
             colour = colour + throughput * local
             if b == depth:
                 break
@@ -340,12 +350,12 @@ class CulledRenderer:
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
         for b, (w_pad, w_pad_sh) in enumerate(pads):
-            (hits, prep, smasks, sentries, _,
+            (hits, prep, live_l, smasks, sentries, _,
              r_rays, _, r_mask, r_entry, _) = self._stage_bounce_fn(
                 w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
-                rays, exclude, mask, entry)
+                rays, exclude, mask, entry, view)
             local = self._stage_shade_fn(w_pad_sh, scene, tris_lights, view,
-                                         hits, prep, smasks, sentries)
+                                         hits, prep, live_l, smasks, sentries)
             colour = colour + throughput * local
             if b + 1 == len(pads):
                 break
@@ -388,7 +398,7 @@ class CulledRenderer:
         if stage_b is None:
             stage_b = jax.jit(functools.partial(self._stage_b_fn, w_pad))
             self._stage_b_cache[w_pad] = stage_b
-        hits, prep, smasks, sentries, scount = stage_b(
+        hits, prep, live_l, smasks, sentries, scount = stage_b(
             self.arrays, self.tris_packed, self.shade_tbl,
             self.block_lo, self.block_hi, rays, mask, entry)
 
@@ -398,7 +408,7 @@ class CulledRenderer:
             stage_c = jax.jit(functools.partial(self._stage_c_fn, w_pad_sh))
             self._stage_c_cache[w_pad_sh] = stage_c
         img = stage_c(self.arrays, self.tris_lights, cam, hits, prep,
-                      smasks, sentries)
+                      live_l, smasks, sentries)
         self._last_counts = (int(count), int(scount))
         if block:
             jax.block_until_ready(img)
@@ -419,11 +429,11 @@ class CulledRenderer:
                  perm, cam: CameraArrays):
         rays, mask, entry, count = self._stage_a_fn(cam, perm, block_lo,
                                                     block_hi)
-        hits, prep, smasks, sentries, scount = self._stage_b_fn(
+        hits, prep, live_l, smasks, sentries, scount = self._stage_b_fn(
             w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
             rays, mask, entry)
         img = self._stage_c_fn(w_pad_sh, scene, tris_lights, cam, hits,
-                               prep, smasks, sentries)
+                               prep, live_l, smasks, sentries)
         return img, count, scount
 
     def freeze(self, camera=None, margin: float = 1.4) -> None:

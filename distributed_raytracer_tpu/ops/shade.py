@@ -221,6 +221,36 @@ def prepare_packed(scene: SceneArrays, rays: jnp.ndarray,
                       q=q, q_rev=q_rev)
 
 
+def light_gates(scene: SceneArrays, view: jnp.ndarray, prep: PackedPrep,
+                valid: jnp.ndarray) -> jnp.ndarray:
+    """(L, C) bool: can light li contribute a nonzero Phong term to ray c?
+
+    Exactness-preserving shadow-work cull: when the potential contribution
+    (kd*diff + ks*spec) * lcol is exactly zero on every channel — the light
+    is behind the surface AND the specular lobe misses the viewer (or the
+    material/light channels are zero) — the lit/shadowed answer cannot
+    affect the image (shade_core_packed adds where(lit, contrib, 0) with
+    contrib == 0), so the shadow query is skipped entirely. `view` must be
+    the same viewer shade_core_packed will use so the gate matches the
+    shading exactly.
+    """
+    v = view[:, None] if view.ndim == 1 else view
+    cam_dir = _normalize_rows(v - prep.x)
+    gates = []
+    for li in range(scene.light_pos.shape[0]):
+        ldir = prep.q[li, 3:6]
+        l_dot_n = jnp.sum(ldir * prep.normal, axis=0)
+        diff = jnp.maximum(l_dot_n, 0.0)
+        refl = 2.0 * l_dot_n[None, :] * prep.normal - ldir
+        spec = jnp.power(
+            jnp.maximum(jnp.sum(refl * cam_dir, axis=0), 0.0), prep.ns)
+        contrib = ((prep.kd * diff[None, :] + prep.ks * spec[None, :])
+                   * scene.light_col[li][:, None])
+        gates.append(valid & (jnp.max(contrib, axis=0) > 0.0))
+    return (jnp.stack(gates) if gates
+            else jnp.zeros((0, prep.x.shape[1]), bool))
+
+
 def shade_core_packed(scene: SceneArrays, view: jnp.ndarray,
                       prep: PackedPrep, hits: intersect.Hits,
                       lit: jnp.ndarray) -> jnp.ndarray:

@@ -45,6 +45,14 @@ from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
 AXIS = "ring"
 
 
+def _vary(x):
+    """Mark x as varying over the ring axis (scan carries must match the
+    per-device-updated values' types). pcast replaces the deprecated pvary."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, AXIS, to="varying")
+    return jax.lax.pvary(x, (AXIS,))
+
+
 class RingShard(NamedTuple):
     """The rotating geometry payload: one shard of per-triangle data."""
 
@@ -202,7 +210,7 @@ def make_ring_renderer(arrays: SceneArrays, width: int, height: int,
 
         # Mark the carries as varying over the ring axis (their updates
         # depend on per-device data, and scan requires matching types).
-        init = jax.tree.map(lambda a: jax.lax.pvary(a, (AXIS,)), init)
+        init = jax.tree.map(_vary, init)
 
         # Phase 1: rotate geometry N times, folding nearest hits.
         def step1(carry, _):
@@ -245,7 +253,7 @@ def make_ring_renderer(arrays: SceneArrays, width: int, height: int,
             sh = _rotate(sh, n)
             return (jnp.stack(new) if n_lights else shadowed, sh), None
 
-        shadowed0 = jax.lax.pvary(jnp.zeros((n_lights, r_loc), bool), (AXIS,))
+        shadowed0 = _vary(jnp.zeros((n_lights, r_loc), bool))
         (shadowed, _), _ = jax.lax.scan(step2, (shadowed0, shard_back), None, length=n)
 
         # Shade locally from the carried payload (materials replicated).
