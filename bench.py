@@ -91,6 +91,42 @@ def main():
     except Exception as e:  # keep the headline metric alive
         extras["config3_error"] = repr(e)[:200]
 
+    # Config 4 — bunny-class mesh (~139K tris: 144x instanced Suzanne) at 4K.
+    # (Multi-chip tile partition = parallel/render_sharded_bvh; this chip
+    # count is 1, so the single-chip number is the per-chip baseline.)
+    try:
+        w4, h4 = 3840, 2160
+        c4 = S.instanced_grid(scene, 12)
+        r4 = CulledRenderer(c4, w4, h4)
+        r4.render(c4.camera, block=True)
+        r4.freeze(c4.camera)
+        p4 = animation.orbit_camera_path(c4.camera, 3, radius=30.0,
+                                         revolutions=0.015)
+        s4 = _bench_frames(lambda c: r4.render_fast(c),
+                           [p.to_arrays() for p in p4], 4)
+        extras["config4_139k_4k_frame_ms"] = round(s4 * 1e3, 2)
+        extras["config4_139k_4k_mrays"] = round(w4 * h4 / s4 / 1e6, 3)
+    except Exception as e:
+        extras["config4_error"] = repr(e)[:200]
+
+    # Config 5 — multi-million-triangle scene (5.24M-tri icosphere) through
+    # the same block-sparse path, geometry device-resident. (The
+    # block-partitioned multi-host schedule is parallel/ring.py, validated
+    # on the virtual mesh — a single chip holds this scene whole.)
+    try:
+        c5 = S.icosphere_scene(9)
+        r5 = CulledRenderer(c5, width, height)
+        r5.render(c5.camera, block=True)
+        r5.freeze(c5.camera)
+        p5 = animation.orbit_camera_path(c5.camera, 3, radius=3.0,
+                                         revolutions=0.01)
+        s5 = _bench_frames(lambda c: r5.render_fast(c),
+                           [p.to_arrays() for p in p5], 4)
+        extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
+        extras["config5_5.2m_mrays"] = round(width * height / s5 / 1e6, 3)
+    except Exception as e:
+        extras["config5_error"] = repr(e)[:200]
+
     result = {
         "metric": "primary_mrays_per_sec_per_chip",
         "value": round(mrays, 3),

@@ -62,26 +62,27 @@ def icosphere_mesh(subdivisions: int, material: Material | None = None) -> MeshD
     ], dtype=np.int64)
 
     for _ in range(subdivisions):
-        vlist = [v for v in verts]
-        cache = {}
-
-        def midpoint(a: int, b: int) -> int:
-            key = (min(a, b), max(a, b))
-            idx = cache.get(key)
-            if idx is None:
-                m = (vlist[a] + vlist[b]) / 2.0
-                m /= np.linalg.norm(m)
-                idx = len(vlist)
-                vlist.append(m)
-                cache[key] = idx
-            return idx
-
-        new_faces = []
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
-        verts = np.asarray(vlist)
-        faces = np.asarray(new_faces, dtype=np.int64)
+        # Vectorized 1->4 subdivision (multi-million-triangle scenes for
+        # BASELINE config 5 need this; a per-edge dict loop takes minutes
+        # at 4^8+ faces). Midpoints dedup via np.unique on sorted edge keys.
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        edges = np.concatenate([
+            np.stack([a, b], axis=1), np.stack([b, c], axis=1),
+            np.stack([c, a], axis=1)])
+        edges.sort(axis=1)
+        uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+        mids = (verts[uniq[:, 0]] + verts[uniq[:, 1]]) / 2.0
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        base = len(verts)
+        verts = np.concatenate([verts, mids])
+        n_f = len(faces)
+        ab = base + inv[:n_f]
+        bc = base + inv[n_f:2 * n_f]
+        ca = base + inv[2 * n_f:]
+        faces = np.concatenate([
+            np.stack([a, ab, ca], axis=1), np.stack([b, bc, ab], axis=1),
+            np.stack([c, ca, bc], axis=1), np.stack([ab, bc, ca], axis=1),
+        ]).astype(np.int64)
 
     mat = material or Material(ka=(0.05, 0.05, 0.05), kd=(0.7, 0.7, 0.75),
                                ks=(0.4, 0.4, 0.4), ns=20.0)
