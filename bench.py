@@ -9,19 +9,53 @@ and block-sparse paths. Baseline: the reference's best published
 throughput — 25.16 FPS at 320x240 (final_report.pdf §3.2) = 1.93 M primary
 rays/s aggregate over 96 vCPUs (BASELINE.md "Derived").
 
-Extra fields carry the other configs measured this round:
-  config3: Suzanne instanced 64x (~62K tris) via the block-BVH path.
-The camera orbits between frames (the reference's measurement motion), so
-per-frame state updates are exercised without recompilation.
+Extra fields carry the other configs measured this round (config 2 —
+1080p multi-bounce, config 3 — 62K-tri instancing, config 4 — 139K tris at
+4K, config 5 — 5.2M-tri icosphere). The camera orbits between frames (the
+reference's measurement motion), so per-frame state updates are exercised
+without recompilation.
+
+Robustness: a cold persistent-compilation cache can cost minutes per
+config on this TPU setup (compiles go through a serialized remote helper).
+The harness therefore (a) computes the headline config first, (b) checks a
+wall-clock budget (BENCH_BUDGET_S, default 420s) before starting each
+extra config, and (c) on SIGTERM/SIGINT prints whatever it has measured so
+far before dying — the driver always gets its JSON line.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 BASELINE_MRAYS = 1.93  # reference aggregate primary rays/s (96 vCPUs)
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+_result = None          # best-so-far JSON dict, printed on early termination
+_printed = False
+
+
+def _emit(code=0):
+    global _printed
+    if not _printed:
+        _printed = True
+        print(json.dumps(_result if _result is not None else {
+            "metric": "error", "value": 0, "unit": "none", "vs_baseline": 0,
+            "error": "terminated before the headline config finished"}))
+        sys.stdout.flush()
+    os._exit(code)
+
+
+def _on_term(signum, frame):
+    _emit(0)
+
+
+def _budget_left():
+    return BUDGET_S - (time.monotonic() - T0)
 
 
 def _bench_frames(render, cams, n_frames):
@@ -37,6 +71,7 @@ def _bench_frames(render, cams, n_frames):
 
 
 def main():
+    global _result
     import jax
 
     from distributed_raytracer_tpu.utils.jaxtools import enable_compilation_cache
@@ -57,96 +92,133 @@ def main():
                                         revolutions=0.05)
     cams = [p.to_arrays() for p in poses]
 
-    # Config 1 — dense path.
-    arrays = jax.device_put(scene.bake())
-    dense_s = _bench_frames(lambda c: render_frame(arrays, c, width, height),
-                            cams, n_frames)
+    extras = {}
 
-    # Config 1 — block-sparse path (frozen buckets).
+    # Config 1 — block-sparse path first (it is the production path and the
+    # usual winner; if the budget dies early we still have a headline).
     culled = CulledRenderer(scene, width, height)
     culled.render(scene.camera, block=True)
     culled.freeze(scene.camera)
     culled_s = _bench_frames(lambda c: culled.render_fast(c), cams, n_frames)
+    extras["frame_ms_culled"] = round(culled_s * 1e3, 2)
 
-    best_s = min(dense_s, culled_s)
-    mrays = width * height / best_s / 1e6
+    def headline(best_s):
+        mrays = width * height / best_s / 1e6
+        return {
+            "metric": "primary_mrays_per_sec_per_chip",
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
+            "fps": round(1.0 / best_s, 2),
+            "resolution": f"{width}x{height}",
+            "n_tris": int(scene.num_tris),
+            "n_lights": n_lights,
+            "total_rays_per_frame_incl_shadow": width * height * (1 + n_lights),
+            "device": str(jax.devices()[0]),
+            **extras,
+        }
 
-    extras = {
-        "frame_ms_dense": round(dense_s * 1e3, 2),
-        "frame_ms_culled": round(culled_s * 1e3, 2),
-    }
+    best_s = culled_s
+    _result = headline(best_s)
+
+    # Config 1 — dense path (968 tris fits the brute-force sweep).
+    if _budget_left() > 60:
+        arrays = jax.device_put(scene.bake())
+        dense_s = _bench_frames(
+            lambda c: render_frame(arrays, c, width, height), cams, n_frames)
+        extras["frame_ms_dense"] = round(dense_s * 1e3, 2)
+        best_s = min(dense_s, culled_s)
+        _result = headline(best_s)
 
     # Config 3 — 64x instanced Suzanne (~62K tris), block-sparse only.
-    try:
-        big = S.instanced_grid(scene, 8)
-        big_r = CulledRenderer(big, width, height)
-        big_r.render(big.camera, block=True)
-        big_r.freeze(big.camera)
-        big_poses = animation.orbit_camera_path(big.camera, 4, radius=20.0,
-                                                revolutions=0.02)
-        big_s = _bench_frames(lambda c: big_r.render_fast(c),
-                              [p.to_arrays() for p in big_poses], 8)
-        extras["config3_62k_frame_ms"] = round(big_s * 1e3, 2)
-        extras["config3_62k_mrays"] = round(width * height / big_s / 1e6, 3)
-    except Exception as e:  # keep the headline metric alive
-        extras["config3_error"] = repr(e)[:200]
+    if _budget_left() > 90:
+        try:
+            big = S.instanced_grid(scene, 8)
+            big_r = CulledRenderer(big, width, height)
+            big_r.render(big.camera, block=True)
+            big_r.freeze(big.camera)
+            big_poses = animation.orbit_camera_path(big.camera, 4,
+                                                    radius=20.0,
+                                                    revolutions=0.02)
+            big_s = _bench_frames(lambda c: big_r.render_fast(c),
+                                  [p.to_arrays() for p in big_poses], 8)
+            extras["config3_62k_frame_ms"] = round(big_s * 1e3, 2)
+            extras["config3_62k_mrays"] = round(width * height / big_s / 1e6, 3)
+        except Exception as e:  # keep the headline metric alive
+            extras["config3_error"] = repr(e)[:200]
+        _result = headline(best_s)
+
+    # Config 2 — example scene at 1920x1080 with multi-bounce specular
+    # reflections (depth 2: primary + 2 reflection bounces).
+    if _budget_left() > 90:
+        try:
+            w2, h2 = 1920, 1080
+            r2 = CulledRenderer(scene, w2, h2)
+            render2 = r2.freeze_bounced(scene.camera, depth=2)
+            p2 = animation.orbit_camera_path(scene.camera, 4, radius=6.0,
+                                             revolutions=0.02)
+            s2 = _bench_frames(render2, [p.to_arrays() for p in p2], 8)
+            extras["config2_1080p_bounce2_frame_ms"] = round(s2 * 1e3, 2)
+            extras["config2_1080p_bounce2_mrays"] = round(
+                w2 * h2 / s2 / 1e6, 3)
+        except Exception as e:
+            extras["config2_error"] = repr(e)[:200]
+        _result = headline(best_s)
 
     # Config 4 — bunny-class mesh (~139K tris: 144x instanced Suzanne) at 4K.
     # (Multi-chip tile partition = parallel/render_sharded_bvh; this chip
     # count is 1, so the single-chip number is the per-chip baseline.)
-    try:
-        w4, h4 = 3840, 2160
-        c4 = S.instanced_grid(scene, 12)
-        r4 = CulledRenderer(c4, w4, h4)
-        r4.render(c4.camera, block=True)
-        r4.freeze(c4.camera)
-        p4 = animation.orbit_camera_path(c4.camera, 3, radius=30.0,
-                                         revolutions=0.015)
-        s4 = _bench_frames(lambda c: r4.render_fast(c),
-                           [p.to_arrays() for p in p4], 4)
-        extras["config4_139k_4k_frame_ms"] = round(s4 * 1e3, 2)
-        extras["config4_139k_4k_mrays"] = round(w4 * h4 / s4 / 1e6, 3)
-    except Exception as e:
-        extras["config4_error"] = repr(e)[:200]
+    if _budget_left() > 90:
+        try:
+            w4, h4 = 3840, 2160
+            c4 = S.instanced_grid(scene, 12)
+            r4 = CulledRenderer(c4, w4, h4)
+            r4.render(c4.camera, block=True)
+            r4.freeze(c4.camera)
+            p4 = animation.orbit_camera_path(c4.camera, 3, radius=30.0,
+                                             revolutions=0.015)
+            s4 = _bench_frames(lambda c: r4.render_fast(c),
+                               [p.to_arrays() for p in p4], 4)
+            extras["config4_139k_4k_frame_ms"] = round(s4 * 1e3, 2)
+            extras["config4_139k_4k_mrays"] = round(w4 * h4 / s4 / 1e6, 3)
+        except Exception as e:
+            extras["config4_error"] = repr(e)[:200]
+        _result = headline(best_s)
 
     # Config 5 — multi-million-triangle scene (5.24M-tri icosphere) through
     # the same block-sparse path, geometry device-resident. (The
-    # block-partitioned multi-host schedule is parallel/ring.py, validated
-    # on the virtual mesh — a single chip holds this scene whole.)
-    try:
-        c5 = S.icosphere_scene(9)
-        r5 = CulledRenderer(c5, width, height)
-        r5.render(c5.camera, block=True)
-        r5.freeze(c5.camera)
-        p5 = animation.orbit_camera_path(c5.camera, 3, radius=3.0,
-                                         revolutions=0.01)
-        s5 = _bench_frames(lambda c: r5.render_fast(c),
-                           [p.to_arrays() for p in p5], 4)
-        extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
-        extras["config5_5.2m_mrays"] = round(width * height / s5 / 1e6, 3)
-    except Exception as e:
-        extras["config5_error"] = repr(e)[:200]
+    # block-partitioned multi-host schedules are parallel/ring.py and
+    # parallel/halo.py, validated on the virtual mesh — a single chip holds
+    # this scene whole.)
+    if _budget_left() > 120:
+        try:
+            c5 = S.icosphere_scene(9)
+            r5 = CulledRenderer(c5, width, height)
+            r5.render(c5.camera, block=True)
+            r5.freeze(c5.camera)
+            p5 = animation.orbit_camera_path(c5.camera, 3, radius=3.0,
+                                             revolutions=0.01)
+            s5 = _bench_frames(lambda c: r5.render_fast(c),
+                               [p.to_arrays() for p in p5], 4)
+            extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
+            extras["config5_5.2m_mrays"] = round(width * height / s5 / 1e6, 3)
+        except Exception as e:
+            extras["config5_error"] = repr(e)[:200]
 
-    result = {
-        "metric": "primary_mrays_per_sec_per_chip",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
-        "fps": round(1.0 / best_s, 2),
-        "resolution": f"{width}x{height}",
-        "n_tris": int(arrays.num_tris),
-        "n_lights": n_lights,
-        "total_rays_per_frame_incl_shadow": width * height * (1 + n_lights),
-        "device": str(jax.devices()[0]),
-        **extras,
-    }
-    print(json.dumps(result))
+    extras["bench_wall_s"] = round(time.monotonic() - T0, 1)
+    _result = headline(best_s)
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line
+        if _result is not None:
+            _result["error"] = repr(e)[:200]
+            _emit(0)
         print(json.dumps({"metric": "error", "value": 0, "unit": "none",
                           "vs_baseline": 0, "error": repr(e)}))
         sys.exit(1)
+    _emit(0)

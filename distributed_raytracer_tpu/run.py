@@ -50,6 +50,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="pace frames like the reference's 30 Hz loop; 0 = flat out")
     p.add_argument("--devices", type=int, default=None,
                    help="device count for --mode sharded")
+    p.add_argument("--serve", metavar="HOST:PORT", default=None,
+                   help="serve an interactive browser viewer instead of the "
+                        "scripted animation (the SDL window analog)")
     return p
 
 
@@ -74,17 +77,33 @@ def main(argv=None) -> int:
     if args.mode == "sequential":
         arrays = jax.device_put(scene.bake())
         render = lambda cam: render_frame(arrays, cam.to_arrays(), w, h)
+        render_arrays = lambda c: render_frame(arrays, c, w, h)
     elif args.mode == "culled":
         culled = CulledRenderer(scene, w, h,
                                 interpret=jax.default_backend() != "tpu")
         culled.render(scene.camera, block=True)
         culled.freeze(scene.camera)
         render = lambda cam: culled.render_fast(cam, verify=True)
+        render_arrays = lambda c: culled.render_fast(c)
     else:
         arrays = jax.device_put(scene.bake())
         sharded = render_sharded.make_sharded_renderer(
             w, h, mesh=render_sharded.default_mesh(args.devices))
         render = lambda cam: sharded.device_fn(arrays, cam.to_arrays())
+        render_arrays = lambda c: sharded.device_fn(arrays, c)
+
+    if args.serve:
+        from distributed_raytracer_tpu.runtime import viewer as viewer_mod
+
+        host, _, port = args.serve.rpartition(":")
+        cam, stats, dropped = viewer_mod.serve(
+            None, scene.camera,
+            lambda s, c: render_arrays(c), w, h,
+            host=host or "127.0.0.1", port=int(port),
+            on_ready=lambda v: print(f"viewer at {v.url}", flush=True))
+        if stats is not None:
+            print(stats.report())
+        return 0
 
     if args.animation == "none":
         poses = [scene.camera] * args.frames

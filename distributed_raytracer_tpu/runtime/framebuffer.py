@@ -29,7 +29,7 @@ def write_ppm(path: str, img) -> None:
         f.write(u8.tobytes())
 
 
-def write_png(path: str, img) -> None:
+def png_bytes(img, level: int = 6) -> bytes:
     """Minimal RGB8 PNG encoder (stdlib zlib only)."""
     u8 = to_u8(img) if np.asarray(img).dtype != np.uint8 else np.asarray(img)
     h, w, _ = u8.shape
@@ -41,10 +41,13 @@ def write_png(path: str, img) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, level)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img) -> None:
     with open(path, "wb") as f:
-        f.write(payload)
+        f.write(png_bytes(img))
 
 
 def read_ppm(path: str) -> np.ndarray:
