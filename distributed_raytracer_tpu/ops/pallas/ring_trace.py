@@ -177,7 +177,8 @@ def ring_nearest(rays_packed: jnp.ndarray, tris_packed: jnp.ndarray, *,
 
     Must be called inside shard_map over `axis` with size `n`. Arguments
     are per-device values: rays_packed (8, R_loc) bsr_trace.pack_rays rows,
-    tris_packed (16, T_loc) bsr_trace.pack_tris rows of the RESIDENT shard
+    tris_packed (16, T_loc) triangle rows (bsr_trace.pack_tris transposed —
+    the ring kernel keeps triangles on the lane axis) of the RESIDENT shard
     (equal T_loc everywhere; pad with degenerate triangles). Returns
     (best_t (R_loc,), best_gid (R_loc,)) with gid global across shards
     (shard d owns [d*T_loc, (d+1)*T_loc)).

@@ -79,14 +79,14 @@ class CulledRenderer:
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
         # Per-light shared-origin triangle packs for the REVERSED shadow
-        # kernels (bsr_trace.pack_tris_origin): (16, L*T), light l's copy at
-        # columns [l*T, (l+1)*T). Lights are static per bake.
+        # kernels (bsr_trace.pack_tris_origin): (L*T, 16), light l's copy at
+        # rows [l*T, (l+1)*T). Lights are static per bake.
         n_lights = int(arrays.light_pos.shape[0])
         if n_lights:
             self.tris_lights = jax.device_put(jnp.concatenate(
                 [bsr_trace.pack_tris_origin(self.tris_packed,
                                             self.arrays.light_pos[li])
-                 for li in range(n_lights)], axis=1))
+                 for li in range(n_lights)], axis=0))
         else:
             self.tris_lights = self.tris_packed
 
@@ -203,7 +203,7 @@ class CulledRenderer:
         if n_lights == 0:
             return jnp.zeros((0, self.n_pad), bool)
         nb = smasks.shape[2]
-        n_tris = tris_lights.shape[1] // max(n_lights, 1)
+        n_tris = tris_lights.shape[0] // max(n_lights, 1)
         mask = smasks.reshape(n_lights * self.n_tiles, -1)
         entry = sentries.reshape(n_lights * self.n_tiles, -1)
         wl = cull.compact_worklist(mask, w_pad_sh, entry=entry)

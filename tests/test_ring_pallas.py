@@ -53,7 +53,7 @@ def test_ring_pallas_matches_brute(suzanne_scene, n_dev):
     mesh = jax.make_mesh((n_dev,), ("ring",), devices=jax.devices()[:n_dev])
 
     arrays = suzanne_scene.bake()
-    tris = bsr_trace.pack_tris(arrays)            # (16, T)
+    tris = bsr_trace.pack_tris(arrays).T          # ring layout is (16, T)
     t = tris.shape[1]
     t_loc = -(-t // (n_dev * 128)) * 128
     tris_pad = np.zeros((16, t_loc * n_dev), np.float32)
