@@ -111,3 +111,76 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
     render.band = band
     render.buckets = (w_pad, w_pad_sh)
     return render
+
+
+def make_sharded_bounced_renderer(scene: Scene, width: int, height: int,
+                                  depth: int, mesh: Optional[Mesh] = None,
+                                  sizing_camera: Optional[Camera] = None,
+                                  margin: float = 2.0,
+                                  cfg: RenderConfig = DEFAULT_CONFIG,
+                                  interpret: bool = False):
+    """Multi-chip Whitted multi-bounce rendering (the sharded sibling of
+    CulledRenderer.freeze_bounced — BASELINE config 2 at scale).
+
+    Same band decomposition as make_sharded_culled_renderer; per-bounce
+    work-list buckets are sized by running the sync multi-bounce pipeline
+    on every band once and maxing the buckets (static under shard_map).
+    Reflection rays stay within their band's pipeline — geometry is
+    replicated, so no cross-band exchange is needed (the geometry-sharded
+    secondary-ray schedules are parallel/ring.py and parallel/halo.py).
+    """
+    if mesh is None:
+        mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
+    n = mesh.devices.size
+    h_band = -(-height // n)
+
+    band = CulledRenderer(scene, width, h_band, cfg=cfg, interpret=interpret)
+    band.raygen_height = height
+    camera = sizing_camera if sizing_camera is not None else scene.camera
+
+    # Per-band sizing pass: max each bounce's buckets over all bands.
+    pads = None
+    base_perm = np.asarray(band._perm)
+    for b in range(n):
+        band._perm = jax.device_put(
+            jnp.asarray(np.minimum(base_perm + b * h_band * width,
+                                   width * height - 1)))
+        band.render_bounced(camera, depth, block=True)
+        cur = band._last_bounce_pads
+        pads = cur if pads is None else tuple(
+            (max(p, c), max(ps, cs))
+            for (p, ps), (c, cs) in zip(pads, cur))
+    band._perm = jax.device_put(jnp.asarray(base_perm))
+    pads = tuple((_bucket(p, margin), _bucket(ps, margin)) for p, ps in pads)
+
+    def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
+                 block_lo, block_hi, perm, cam: CameraArrays):
+        me = jax.lax.axis_index(AXIS)
+        my_perm = jnp.minimum(perm + me * (h_band * width),
+                              width * height - 1)
+        return band._full_bounced_fn(
+            pads, scene_arrays, tris_packed, tris_lights, shade_tbl,
+            block_lo, block_hi, my_perm, cam)  # (h_band, width, 3)
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    device_fn_jit = jax.jit(sharded)
+
+    def device_fn(cam: CameraArrays):
+        return device_fn_jit(band.arrays, band.tris_packed,
+                             band.tris_lights, band.shade_tbl,
+                             band.block_lo, band.block_hi, band._perm, cam)
+
+    def render(cam) -> np.ndarray:
+        c = cam.to_arrays() if isinstance(cam, Camera) else cam
+        out = np.asarray(device_fn(c))          # (height_padded, W, 3)
+        return out[:height]
+
+    render.device_fn = device_fn
+    render.band = band
+    render.buckets = pads
+    return render

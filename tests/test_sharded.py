@@ -97,3 +97,25 @@ def test_sharded_culled_odd_height(tetra_scene):
     dense = np.asarray(render_frame(render.band.arrays,
                                     tetra_scene.camera.to_arrays(), 40, 30))
     np.testing.assert_allclose(out, dense, atol=2e-5)
+
+
+def test_sharded_bounced_matches_single(suzanne_scene):
+    """Multi-chip multi-bounce == single-chip multi-bounce (depth 1)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+    from distributed_raytracer_tpu.parallel import render_sharded_bvh
+
+    interpret = jax.default_backend() != "tpu"
+    w, h = 64, 48
+    mesh = jax.make_mesh((8,), (render_sharded_bvh.AXIS,))
+    render = render_sharded_bvh.make_sharded_bounced_renderer(
+        suzanne_scene, w, h, depth=1, mesh=mesh, interpret=interpret)
+    multi = render(suzanne_scene.camera)
+    assert multi.shape == (h, w, 3)
+
+    single = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
+    ref = np.asarray(single.render_bounced(suzanne_scene.camera, depth=1))
+    diff = np.abs(multi - ref).max(-1)
+    assert (diff > 2 / 255).mean() < 0.005
+    assert np.abs(multi - ref).mean() < 1e-3
