@@ -9,11 +9,19 @@ and block-sparse paths. Baseline: the reference's best published
 throughput — 25.16 FPS at 320x240 (final_report.pdf §3.2) = 1.93 M primary
 rays/s aggregate over 96 vCPUs (BASELINE.md "Derived").
 
-Extra fields carry the other configs measured this round (config 2 —
-1080p multi-bounce, config 3 — 62K-tri instancing, config 4 — 139K tris at
-4K, config 5 — 5.2M-tri icosphere). The camera orbits between frames (the
-reference's measurement motion), so per-frame state updates are exercised
-without recompilation.
+Extra fields carry the other configs measured this round, in priority
+order: config 5 (5.2M-tri icosphere — the block-partitioned north star)
+runs FIRST after the headline so a tight budget can never silently drop
+it; then config 3 (62K-tri instancing), config 2 (1080p multi-bounce),
+config 4 (139K tris at 4K). Every config that does not run emits an
+explicit `configN_skipped` marker — silent absence reads as "covered"
+when it wasn't (round-1 verdict, "What's weak" #2). The camera orbits
+between frames (the reference's measurement motion), so per-frame state
+updates are exercised without recompilation.
+
+Work accounting: each block-sparse config also reports scheduled
+(ray, triangle) pair throughput and its fraction of the hardware-derived
+speed-of-light (utils/profiling.py ROOFLINE docstring for the derivation).
 
 Robustness: a cold persistent-compilation cache can cost minutes per
 config on this TPU setup (compiles go through a serialized remote helper).
@@ -70,6 +78,22 @@ def _bench_frames(render, cams, n_frames):
     return (time.perf_counter() - t0) / n_frames
 
 
+def _culled_extras(extras, key, renderer, seconds, w, h):
+    """Per-config work accounting: scheduled pairs and SOL fraction."""
+    from distributed_raytracer_tpu.utils import profiling
+
+    if renderer._last_counts is None:
+        return
+    count, scount = renderer._last_counts
+    work = profiling.FrameWork(
+        primary_cells=int(count), shadow_cells=int(scount),
+        rays=w * h, ray_tile=renderer.rt, tri_block=renderer.tb,
+        seconds=seconds)
+    extras[f"{key}_gpairs_per_s"] = round(work.gpairs_per_sec, 2)
+    extras[f"{key}_sol_fraction"] = round(work.sol_fraction, 3)
+    extras[f"{key}_pairs_scheduled"] = int(work.pairs)
+
+
 def main():
     global _result
     import jax
@@ -101,6 +125,7 @@ def main():
     culled.freeze(scene.camera)
     culled_s = _bench_frames(lambda c: culled.render_fast(c), cams, n_frames)
     extras["frame_ms_culled"] = round(culled_s * 1e3, 2)
+    _culled_extras(extras, "config1", culled, culled_s, width, height)
 
     def headline(best_s):
         mrays = width * height / best_s / 1e6
@@ -122,16 +147,44 @@ def main():
     _result = headline(best_s)
 
     # Config 1 — dense path (968 tris fits the brute-force sweep).
-    if _budget_left() > 60:
+    if _budget_left() > 30:
         arrays = jax.device_put(scene.bake())
         dense_s = _bench_frames(
             lambda c: render_frame(arrays, c, width, height), cams, n_frames)
         extras["frame_ms_dense"] = round(dense_s * 1e3, 2)
         best_s = min(dense_s, culled_s)
-        _result = headline(best_s)
+    else:
+        extras["config1_dense_skipped"] = "budget"
+    _result = headline(best_s)
+
+    # Config 5 — multi-million-triangle scene (5.24M-tri icosphere) through
+    # the same block-sparse path, geometry device-resident. Runs FIRST among
+    # the extras: it is the north-star config and was silently dropped in
+    # round 1. (The block-partitioned multi-host schedules are
+    # parallel/ring.py and parallel/halo.py, validated on the virtual mesh —
+    # a single chip holds this scene whole.)
+    if _budget_left() > 150:
+        try:
+            c5 = S.icosphere_scene(9)
+            r5 = CulledRenderer(c5, width, height)
+            r5.render(c5.camera, block=True)
+            r5.freeze(c5.camera)
+            p5 = animation.orbit_camera_path(c5.camera, 3, radius=3.0,
+                                             revolutions=0.01)
+            s5 = _bench_frames(lambda c: r5.render_fast(c),
+                               [p.to_arrays() for p in p5], 4)
+            extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
+            extras["config5_5.2m_mrays"] = round(width * height / s5 / 1e6, 3)
+            _culled_extras(extras, "config5", r5, s5, width, height)
+            del r5, c5
+        except Exception as e:  # keep the headline metric alive
+            extras["config5_error"] = repr(e)[:200]
+    else:
+        extras["config5_skipped"] = "budget"
+    _result = headline(best_s)
 
     # Config 3 — 64x instanced Suzanne (~62K tris), block-sparse only.
-    if _budget_left() > 90:
+    if _budget_left() > 60:
         try:
             big = S.instanced_grid(scene, 8)
             big_r = CulledRenderer(big, width, height)
@@ -144,13 +197,17 @@ def main():
                                   [p.to_arrays() for p in big_poses], 8)
             extras["config3_62k_frame_ms"] = round(big_s * 1e3, 2)
             extras["config3_62k_mrays"] = round(width * height / big_s / 1e6, 3)
-        except Exception as e:  # keep the headline metric alive
+            _culled_extras(extras, "config3", big_r, big_s, width, height)
+            del big_r, big
+        except Exception as e:
             extras["config3_error"] = repr(e)[:200]
-        _result = headline(best_s)
+    else:
+        extras["config3_skipped"] = "budget"
+    _result = headline(best_s)
 
     # Config 2 — example scene at 1920x1080 with multi-bounce specular
     # reflections (depth 2: primary + 2 reflection bounces).
-    if _budget_left() > 90:
+    if _budget_left() > 60:
         try:
             w2, h2 = 1920, 1080
             r2 = CulledRenderer(scene, w2, h2)
@@ -161,14 +218,17 @@ def main():
             extras["config2_1080p_bounce2_frame_ms"] = round(s2 * 1e3, 2)
             extras["config2_1080p_bounce2_mrays"] = round(
                 w2 * h2 / s2 / 1e6, 3)
+            del r2
         except Exception as e:
             extras["config2_error"] = repr(e)[:200]
-        _result = headline(best_s)
+    else:
+        extras["config2_skipped"] = "budget"
+    _result = headline(best_s)
 
     # Config 4 — bunny-class mesh (~139K tris: 144x instanced Suzanne) at 4K.
     # (Multi-chip tile partition = parallel/render_sharded_bvh; this chip
     # count is 1, so the single-chip number is the per-chip baseline.)
-    if _budget_left() > 90:
+    if _budget_left() > 60:
         try:
             w4, h4 = 3840, 2160
             c4 = S.instanced_grid(scene, 12)
@@ -181,29 +241,12 @@ def main():
                                [p.to_arrays() for p in p4], 4)
             extras["config4_139k_4k_frame_ms"] = round(s4 * 1e3, 2)
             extras["config4_139k_4k_mrays"] = round(w4 * h4 / s4 / 1e6, 3)
+            _culled_extras(extras, "config4", r4, s4, w4, h4)
+            del r4, c4
         except Exception as e:
             extras["config4_error"] = repr(e)[:200]
-        _result = headline(best_s)
-
-    # Config 5 — multi-million-triangle scene (5.24M-tri icosphere) through
-    # the same block-sparse path, geometry device-resident. (The
-    # block-partitioned multi-host schedules are parallel/ring.py and
-    # parallel/halo.py, validated on the virtual mesh — a single chip holds
-    # this scene whole.)
-    if _budget_left() > 120:
-        try:
-            c5 = S.icosphere_scene(9)
-            r5 = CulledRenderer(c5, width, height)
-            r5.render(c5.camera, block=True)
-            r5.freeze(c5.camera)
-            p5 = animation.orbit_camera_path(c5.camera, 3, radius=3.0,
-                                             revolutions=0.01)
-            s5 = _bench_frames(lambda c: r5.render_fast(c),
-                               [p.to_arrays() for p in p5], 4)
-            extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
-            extras["config5_5.2m_mrays"] = round(width * height / s5 / 1e6, 3)
-        except Exception as e:
-            extras["config5_error"] = repr(e)[:200]
+    else:
+        extras["config4_skipped"] = "budget"
 
     extras["bench_wall_s"] = round(time.monotonic() - T0, 1)
     _result = headline(best_s)

@@ -7,12 +7,22 @@ what a production TPU renderer needs (SURVEY.md §5 "Tracing/profiling"):
   - per-frame work accounting for the block-sparse path (pairs tested,
     effective FLOPs) against a VPU speed-of-light estimate.
 
-Intersection cost model: the Baldwin–Weber pair evaluation is ~47 f32 ops
-(3 ray-dependent dots on the MXU + ~32 VPU elementwise ops + compares/
-selects); the min/argmin fold adds ~4. Speed-of-light on one v5e core is
-taken as the measured dense-sweep throughput ceiling (~11 Gpairs/s,
-microbenchmarked in round 1) — a practical SOL that already accounts for
-the mixed MXU/VPU issue pattern.
+Roofline derivation (hardware peak, NOT the code's own measured ceiling —
+a ceiling defined as what the code already does cannot detect that the
+code is slow):
+  - One v5e TensorCore's VPU is an (8, 128)-lane vector unit with 4 ALUs
+    per lane at ~0.94 GHz (public figures; jax-ml.github.io/scaling-book
+    "TPU architecture"), i.e. 8*128*4*0.94e9 ≈ 3.85e12 f32 ops/s.
+  - One shared-origin Baldwin–Weber pair evaluation needs ~46 VPU ops:
+    den/u/v direction dots 15, t = num/den ≈ 4 (reciprocal sequence),
+    u/v fma 4, seven compares + three ands ≈ 10, masked min + argmin
+    fold ≈ 8, select/write ≈ 5. (The per-ray-origin variant adds ~12.)
+  - SOL := 3.85e12 / 46 ≈ 84 Gpairs/s/core. Kernels that offload the
+    direction dots to the MXU (which runs in parallel with the VPU)
+    raise the bound to 3.85e12 / 31 ≈ 124 Gpairs/s; sol_fraction here
+    conservatively uses the all-VPU figure.
+For context: the round-1 dense-sweep microbenchmark measured ~11 Gpairs/s
+(13% of this SOL) — the gap is the optimization budget, not noise.
 """
 
 from __future__ import annotations
@@ -23,7 +33,11 @@ import time
 from typing import Optional
 
 PAIR_FLOPS = 47.0
-PRACTICAL_SOL_GPAIRS = 11.0  # measured dense ceiling, 1 x v5e core
+VPU_OPS_PER_SEC = 8 * 128 * 4 * 0.94e9   # one v5e TensorCore, f32
+PAIR_VPU_OPS = 46.0                      # shared-origin pair evaluation
+SOL_GPAIRS = VPU_OPS_PER_SEC / PAIR_VPU_OPS / 1e9   # ≈ 84 Gpairs/s
+# Round-1 measured dense-sweep throughput, kept for context only.
+MEASURED_DENSE_GPAIRS_R1 = 11.0
 
 
 @contextlib.contextmanager
@@ -63,11 +77,12 @@ class FrameWork:
 
     @property
     def sol_fraction(self) -> float:
-        """Fraction of the practical pair-throughput ceiling achieved,
-        counting scheduled (post-cull, pre-early-exit) pairs — early-exit
-        skips push this above 1.0, which is the intent: >1 means the kernel
-        beat the dense ceiling on the same nominal work."""
-        return self.gpairs_per_sec / PRACTICAL_SOL_GPAIRS
+        """Fraction of the hardware-derived pair-throughput ceiling
+        (SOL_GPAIRS, module docstring) achieved, counting scheduled
+        (post-cull, pre-early-exit) pairs. Frame time includes cull +
+        compaction + shading, so this is an end-to-end fraction; the
+        kernel-only fraction is higher."""
+        return self.gpairs_per_sec / SOL_GPAIRS
 
     def report(self) -> str:
         return (f"{self.rays} rays, {self.primary_cells}+{self.shadow_cells} "
@@ -89,10 +104,10 @@ def measure_culled(renderer, camera, frames: int = 10) -> FrameWork:
         out = renderer.render_fast(camera)
     jax.block_until_ready(out)
     seconds = (time.perf_counter() - t0) / frames
-    count, scounts = renderer._last_counts
+    count, scount = renderer._last_counts
     return FrameWork(
         primary_cells=int(count),
-        shadow_cells=int(sum(scounts)),
+        shadow_cells=int(scount),
         rays=renderer.width * renderer.height,
         ray_tile=renderer.rt,
         tri_block=renderer.tb,
