@@ -188,9 +188,9 @@ def _pair_math(rays_ref, tris_ref, shared_origin: bool):
     return t, valid, gid_local
 
 
-def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
-                    excl_ref, tris_ref, prev_t_ref, prev_i_ref, out_t_ref,
-                    out_i_ref, *, tb: int, shared_origin: bool,
+def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, gid_base,
+                    rays_ref, excl_ref, tris_ref, prev_t_ref, prev_i_ref,
+                    out_t_ref, out_i_ref, *, tb: int, shared_origin: bool,
                     use_exit: bool = False):
     w = pl.program_id(0)
 
@@ -219,19 +219,24 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref,
     @pl.when(live)
     def _():
         t, valid, gid_local = _pair_math(rays_ref, tris_ref, shared_origin)
-        gid = block_ids[w] * tb + gid_local
+        gid = gid_base[0] + block_ids[w] * tb + gid_local
         valid = valid & (gid != excl_ref[0:1, :])
         cand = jnp.where(valid, t, jnp.inf)
         m = jnp.min(cand, axis=0, keepdims=True)                   # (1, RT)
         sel = jnp.min(jnp.where(cand == m, gid, BIG_IDX), axis=0, keepdims=True)
-        better = m < out_t_ref[:, :]
-        out_t_ref[:, :] = jnp.where(better, m, out_t_ref[:, :])
-        out_i_ref[:, :] = jnp.where(better, sel, out_i_ref[:, :])
+        # Tie-break on min global id: matches the dense path's argmin
+        # (first occurrence = lowest index) and makes cross-shard /
+        # cross-rotation folds order-independent (parallel/ring.py,
+        # parallel/halo.py fold shards in different orders per device).
+        cur_t, cur_i = out_t_ref[:, :], out_i_ref[:, :]
+        better = (m < cur_t) | ((m == cur_t) & (sel < cur_i))
+        out_t_ref[:, :] = jnp.where(better, m, cur_t)
+        out_i_ref[:, :] = jnp.where(better, sel, cur_i)
 
 
-def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
-                tris_ref, prev_ref, out_ref, *, tb: int, shared_origin: bool,
-                use_exit: bool = False):
+def _any_kernel(tile_ids, block_ids, first, entry, nreal, gid_base, rays_ref,
+                excl_ref, tris_ref, prev_ref, out_ref, *, tb: int,
+                shared_origin: bool, use_exit: bool = False):
     w = pl.program_id(0)
 
     @pl.when(first[w] == 1)
@@ -247,7 +252,7 @@ def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
     @pl.when(live)
     def _():
         t, valid, gid_local = _pair_math(rays_ref, tris_ref, shared_origin)
-        gid = block_ids[w] * tb + gid_local
+        gid = gid_base[0] + block_ids[w] * tb + gid_local
         valid = valid & (gid != excl_ref[0:1, :])
         tmax = rays_ref[6:7, :]
         hit = jnp.max(jnp.where(valid & (t <= tmax), 1, 0), axis=0, keepdims=True)
@@ -255,14 +260,14 @@ def _any_kernel(tile_ids, block_ids, first, entry, nreal, rays_ref, excl_ref,
 
 
 def _grid_spec(w_seg: int, rt: int, tb: int, n_acc: int):
-    def ray_map(w, t_ids, b_ids, first, entry, nreal):
+    def ray_map(w, t_ids, b_ids, first, entry, nreal, gid_base):
         return (0, t_ids[w])
 
-    def tri_map(w, t_ids, b_ids, first, entry, nreal):
+    def tri_map(w, t_ids, b_ids, first, entry, nreal, gid_base):
         return (b_ids[w], 0)
 
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(w_seg,),
         in_specs=[
             pl.BlockSpec((8, rt), ray_map),      # rays
@@ -284,7 +289,7 @@ def _segment_first(tile_ids: jnp.ndarray) -> jnp.ndarray:
 
 def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
                   tile_ids, block_ids, entry, count, *, rt, tb, w_pad,
-                  interpret):
+                  interpret, gid_base=None):
     r = rays_packed.shape[1]
     excl2 = exclude[None, :]
     out_shape = tuple(jax.ShapeDtypeStruct((1, r), a.dtype) for a in init)
@@ -294,6 +299,10 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
                          "use bucket_w_pad()")
     w_seg = w_pad // n_seg
     grid_spec = _grid_spec(w_seg, rt, tb, n_acc)
+    if gid_base is None:
+        gid_base = jnp.zeros((1,), jnp.int32)
+    else:
+        gid_base = jnp.asarray(gid_base, jnp.int32).reshape(1)
 
     def one_segment(carry, seg_start):
         t_ids = jax.lax.dynamic_slice(tile_ids, (seg_start,), (w_seg,))
@@ -306,8 +315,8 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(t_ids, b_ids, first, ent, nreal, rays_packed, excl2, tris_packed,
-          *carry)
+        )(t_ids, b_ids, first, ent, nreal, gid_base, rays_packed, excl2,
+          tris_packed, *carry)
         return outs, None
 
     if n_seg == 1:
@@ -321,7 +330,8 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
 @functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret",
                                               "shared_origin"))
 def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
-                count=None, *, rt: int, tb: int, w_pad: int,
+                count=None, init_t=None, init_i=None, gid_base=None, *,
+                rt: int, tb: int, w_pad: int,
                 interpret: bool = False, shared_origin: bool = False):
     """Nearest hit over the work list: (best_t (R,), best_idx (R,)).
 
@@ -332,31 +342,41 @@ def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
     skipped in-kernel (None = treat all w_pad as real). With
     shared_origin=True, tris_packed must be the pack_tris_origin layout for
     the launch's common ray origin.
+
+    `init_t`/`init_i` (R,) seed the accumulator — the geometry-rotation
+    schedule (parallel/ring.py) chains steps through them. Ties fold by min
+    global id, so chaining order does not affect the result. `gid_base`
+    (traced scalar) offsets reported triangle ids — sharded geometry passes
+    its shard's first global id (parallel/halo.py, parallel/ring.py).
     """
     r = rays_packed.shape[1]
     if count is None:
         count = jnp.int32(w_pad)
-    init = (jnp.full((1, r), jnp.inf, jnp.float32),
-            jnp.full((1, r), BIG_IDX, jnp.int32))
+    init = (jnp.full((1, r), jnp.inf, jnp.float32) if init_t is None
+            else init_t.reshape(1, r).astype(jnp.float32),
+            jnp.full((1, r), BIG_IDX, jnp.int32) if init_i is None
+            else init_i.reshape(1, r).astype(jnp.int32))
     out_t, out_i = _run_segments(
         functools.partial(_nearest_kernel, tb=tb, shared_origin=shared_origin),
         2, init,
         rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
-        rt=rt, tb=tb, w_pad=w_pad, interpret=interpret)
+        rt=rt, tb=tb, w_pad=w_pad, interpret=interpret, gid_base=gid_base)
     return out_t[0], out_i[0]
 
 
 @functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret",
                                               "shared_origin"))
 def bsr_any(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
-            count=None, init=None, *, rt: int, tb: int, w_pad: int,
-            interpret: bool = False, shared_origin: bool = False):
+            count=None, init=None, gid_base=None, *, rt: int, tb: int,
+            w_pad: int, interpret: bool = False, shared_origin: bool = False):
     """Any-hit (shadow) query with per-ray t_max. Returns int32 (R,) 0/1.
 
     Same visited-tiles-only output contract as bsr_nearest. `init` (R,)
     int32 pre-seeds the accumulator: marking dead rays (misses, zero-Ks)
     as already-hit lets whole tiles early-exit as soon as every *live* ray
-    is occluded — callers mask dead rays out of the result anyway.
+    is occluded — callers mask dead rays out of the result anyway. It also
+    chains ring-rotation steps (parallel/ring.py). `gid_base` as in
+    bsr_nearest (the self-exclusion ids stay global).
     """
     r = rays_packed.shape[1]
     if count is None:
@@ -367,5 +387,5 @@ def bsr_any(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
         functools.partial(_any_kernel, tb=tb, shared_origin=shared_origin),
         1, init,
         rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
-        rt=rt, tb=tb, w_pad=w_pad, interpret=interpret)
+        rt=rt, tb=tb, w_pad=w_pad, interpret=interpret, gid_base=gid_base)
     return out[0]
