@@ -183,6 +183,20 @@ def prepare_packed(scene: SceneArrays, rays: jnp.ndarray,
     t = jnp.where(hits.valid, hits.t, 0.0)
     tri = jnp.maximum(hits.tri, 0)
     g = table[tri].T                       # (32, C): gather + one transpose
+    return prepare_packed_rows(scene.light_pos, rays, t, g, cfg)
+
+
+def prepare_packed_rows(light_pos: jnp.ndarray, rays: jnp.ndarray,
+                        t: jnp.ndarray, g: jnp.ndarray,
+                        cfg: RenderConfig = DEFAULT_CONFIG) -> PackedPrep:
+    """prepare_packed from pre-gathered table rows.
+
+    `g` is (32, C) — the winning triangles' pack_table rows, transposed.
+    The geometry-sharded paths (parallel/halo_bvh.py) gather these on the
+    shard that OWNS the winning triangle and carry them home with the hit
+    candidate, so no device ever holds the full (T, 32) table. `t` must
+    already be zeroed for miss rays (keeps the hit-point math finite).
+    """
     o, d = rays[0:3], rays[3:6]
 
     x = o + t[None, :] * d                 # (3, C)
@@ -196,8 +210,8 @@ def prepare_packed(scene: SceneArrays, rays: jnp.ndarray,
 
     zero = jnp.zeros((1, x.shape[1]), jnp.float32)
     qs, qrs = [], []
-    for li in range(scene.light_pos.shape[0]):
-        lpos = scene.light_pos[li]
+    for li in range(light_pos.shape[0]):
+        lpos = light_pos[li]
         to_light = lpos[:, None] - x
         ldist = jnp.sqrt(jnp.sum(to_light * to_light, axis=0))
         ldir = to_light / ldist[None, :]
@@ -234,10 +248,17 @@ def light_gates(scene: SceneArrays, view: jnp.ndarray, prep: PackedPrep,
     the same viewer shade_core_packed will use so the gate matches the
     shading exactly.
     """
+    return light_gates_rows(scene.light_col, view, prep, valid)
+
+
+def light_gates_rows(light_col: jnp.ndarray, view: jnp.ndarray,
+                     prep: PackedPrep, valid: jnp.ndarray) -> jnp.ndarray:
+    """light_gates from the light-colour rows alone — the geometry-sharded
+    paths (parallel/halo_bvh.py) carry no SceneArrays inside shard_map."""
     v = view[:, None] if view.ndim == 1 else view
     cam_dir = _normalize_rows(v - prep.x)
     gates = []
-    for li in range(scene.light_pos.shape[0]):
+    for li in range(light_col.shape[0]):
         ldir = prep.q[li, 3:6]
         l_dot_n = jnp.sum(ldir * prep.normal, axis=0)
         diff = jnp.maximum(l_dot_n, 0.0)
@@ -245,7 +266,7 @@ def light_gates(scene: SceneArrays, view: jnp.ndarray, prep: PackedPrep,
         spec = jnp.power(
             jnp.maximum(jnp.sum(refl * cam_dir, axis=0), 0.0), prep.ns)
         contrib = ((prep.kd * diff[None, :] + prep.ks * spec[None, :])
-                   * scene.light_col[li][:, None])
+                   * light_col[li][:, None])
         gates.append(valid & (jnp.max(contrib, axis=0) > 0.0))
     return (jnp.stack(gates) if gates
             else jnp.zeros((0, prep.x.shape[1]), bool))
@@ -258,15 +279,23 @@ def shade_core_packed(scene: SceneArrays, view: jnp.ndarray,
 
     view: (3,) shared viewer (primary rays) or (3, C) per-ray (bounces).
     """
+    return shade_core_rows(scene.light_col, view, prep, hits.valid, lit)
+
+
+def shade_core_rows(light_col: jnp.ndarray, view: jnp.ndarray,
+                    prep: PackedPrep, valid: jnp.ndarray,
+                    lit: jnp.ndarray) -> jnp.ndarray:
+    """shade_core_packed from light-colour rows + a validity mask (the
+    geometry-sharded paths carry no SceneArrays/Hits inside shard_map)."""
     x, normal = prep.x, prep.normal
     ka, kd, ks, ns = prep.ka, prep.kd, prep.ks, prep.ns
     v = view[:, None] if view.ndim == 1 else view
     cam_dir = _normalize_rows(v - x)
 
     colour = ka
-    for li in range(scene.light_pos.shape[0]):
+    for li in range(light_col.shape[0]):
         ldir = prep.q[li, 3:6]
-        lcol = scene.light_col[li]
+        lcol = light_col[li]
         l_dot_n = jnp.sum(ldir * normal, axis=0)
         diff = jnp.maximum(l_dot_n, 0.0)
         refl = 2.0 * l_dot_n[None, :] * normal - ldir
@@ -275,7 +304,7 @@ def shade_core_packed(scene: SceneArrays, view: jnp.ndarray,
         contrib = (kd * diff[None, :] + ks * spec[None, :]) * lcol[:, None]
         colour = colour + jnp.where(lit[li][None, :], contrib, 0.0)
     colour = jnp.minimum(colour, 1.0)  # saturating adds -> one clamp
-    return jnp.where(hits.valid[None, :], colour, 0.0)
+    return jnp.where(valid[None, :], colour, 0.0)
 
 
 def shade_core(scene: SceneArrays, cam_pos: jnp.ndarray, prep: ShadePrep,

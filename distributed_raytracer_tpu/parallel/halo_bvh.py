@@ -1,0 +1,360 @@
+"""Block-BVH-culled geometry-sharded rendering (the production config-5 path).
+
+parallel/halo.py routes rays to geometry shards but intersects every
+received ray against every resident triangle densely — O(rays x T/N) per
+shard per frame, unusable at multi-million-triangle scale. This module puts
+the block BVH *inside* the sharded schedule: each shard culls the gathered
+ray tiles against its OWN blocks' AABBs (ops/cull.py interval test) and runs
+only surviving (tile, block) pairs through the Pallas BSR kernels
+(ops/pallas/bsr_trace.py) — the same pruning the replicated path gets, the
+reference applies to *every* query (tracer.go:32 scene R-tree +
+object.go:76 face R-tree), now per shard.
+
+Layout: scene.bake_bvh Morton-orders triangles and gap-aligns leaf blocks,
+so a CONTIGUOUS run of blocks is spatially compact — sharding the block axis
+contiguously gives each device a tight spatial region, which is exactly what
+makes per-shard culling effective (most ray tiles miss most shards' AABBs
+entirely and cull to zero work there).
+
+Schedule per device (all shapes static; no host syncs in the frame):
+  1. raygen for the FULL frame (replicated compute — the camera is
+     replicated, so generating all rays locally is cheaper than an
+     all_gather of them; rays are a pure function of the camera).
+  2. cull (all ray tiles) x (local blocks) -> work list -> BSR nearest with
+     this shard's global-id offset -> per-ray local candidate (t, gid).
+  3. gather the candidate's 32-wide shading row from the LOCAL table (the
+     owning shard is the only place the winning triangle's data lives) and
+     all_to_all (t, gid, row) home; fold with the (t, then gid) lexicographic
+     min — the same tie-break the kernels use, so fold order is irrelevant.
+  4. shadow, per light: build REVERSED queries (light -> surface point,
+     shade.PackedPrep.q_rev) for resident rays, all_gather them, cull vs
+     local blocks with per-ray liveness (misses + zero-contribution lights
+     masked out of the tile hulls), BSR any-hit, all_to_all the occlusion
+     bits home, OR.
+  5. Phong from the carried rows, purely local (shade.shade_core_rows).
+
+Comm per frame: one all_to_all of (r x 34) f32 + per light one all_gather of
+(8 x r) + one all_to_all of r bits — O(rays), independent of triangle count,
+riding ICI. Geometry never moves.
+
+Capability match: the reference's block-partitioned "distributed" identity
+(BASELINE config 5) with the two-level R-tree pruning of
+/root/reference/shared/state/object.go:76 applied to every query.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from distributed_raytracer_tpu.models.camera import Camera, CameraArrays
+from distributed_raytracer_tpu.models.scene import Scene
+from distributed_raytracer_tpu.ops import cull, raygen, shade
+from distributed_raytracer_tpu.ops.pallas import bsr_trace
+from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
+
+AXIS = "geom"
+_bucket = bsr_trace.bucket_w_pad
+
+
+class ShardedGeometry(NamedTuple):
+    """Per-triangle/per-block arrays, sharded over the block axis."""
+
+    tris16: jnp.ndarray    # (T, 16) bsr_trace.pack_tris columns
+    table32: jnp.ndarray   # (T, 32) shade.pack_table rows
+    block_lo: jnp.ndarray  # (NB, 3)
+    block_hi: jnp.ndarray  # (NB, 3)
+    base: jnp.ndarray      # (n,) int32 first global triangle id per shard
+
+
+def _pad_to_shardable(arrays, tree, n: int):
+    """Append degenerate blocks so the block count divides the mesh size.
+
+    Padding triangles are all-zero (den == num == 0 -> never hit) and padding
+    blocks carry inverted AABBs (+inf, -inf) that no interval test passes.
+    """
+    nb = tree.num_blocks
+    nb_ext = -(-nb // n) * n
+    if nb_ext == nb:
+        return arrays, tree.block_lo, tree.block_hi
+    bs = tree.block_size
+    pad_t = (nb_ext - nb) * bs
+    per_tri = {"p0", "e1", "e2", "geo_n", "plane_d", "k_u", "k_v",
+               "c_u", "c_v", "n0", "n1", "n2", "mat_id"}
+    rep = {}
+    for name in per_tri:
+        a = np.asarray(getattr(arrays, name))
+        width = [(0, pad_t)] + [(0, 0)] * (a.ndim - 1)
+        rep[name] = np.pad(a, width)
+    arrays = arrays._replace(**rep)
+    lo = np.concatenate([tree.block_lo,
+                         np.full((nb_ext - nb, 3), np.inf, np.float32)])
+    hi = np.concatenate([tree.block_hi,
+                         np.full((nb_ext - nb, 3), -np.inf, np.float32)])
+    return arrays, lo, hi
+
+
+class HaloCulledRenderer:
+    """Geometry-sharded renderer with per-shard block-BVH culling.
+
+    Work-list buckets must be static under shard_map, so they are sized at
+    build time from `sizing_camera` (a one-device pass over the full scene)
+    x `margin`, maxed across shards and lights. render(cam, verify=True)
+    blocks to check the frame's true counts against the buckets and
+    re-sizes + re-renders on overflow — the sharded analog of
+    CulledRenderer.render_fast(verify=True); without it a camera far outside
+    the sizing pose could silently drop candidate blocks (the reference
+    never shows a wrong tile — master/main.go:153-161).
+    """
+
+    def __init__(self, scene: Scene, width: int, height: int,
+                 mesh: Optional[Mesh] = None,
+                 sizing_camera: Optional[Camera] = None,
+                 margin: float = 2.0, cfg: RenderConfig = DEFAULT_CONFIG,
+                 block_size: int = 128, ray_tile: int = 512,
+                 interpret: bool = False):
+        if mesh is None:
+            mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
+        self.mesh = mesh
+        self.n = int(mesh.devices.size)
+        self.width, self.height, self.cfg = width, height, cfg
+        self.rt, self.tb = ray_tile, block_size
+        self.margin, self.interpret = margin, interpret
+
+        arrays, tree = scene.bake_bvh(block_size=block_size)
+        arrays, lo, hi = _pad_to_shardable(arrays, tree, self.n)
+        self.nb_ext = lo.shape[0]
+        self.nb_loc = self.nb_ext // self.n
+        self.t_loc = self.nb_loc * block_size
+        self.lights_pos = jnp.asarray(arrays.light_pos)
+        self.lights_col = jnp.asarray(arrays.light_col)
+        self.n_lights = int(self.lights_pos.shape[0])
+
+        tris16 = np.asarray(bsr_trace.pack_tris(arrays))
+        table32 = np.asarray(shade.pack_table(arrays))
+        base = (np.arange(self.n, dtype=np.int32) * self.t_loc)
+
+        sh = lambda spec: NamedSharding(mesh, spec)
+        self.geom = ShardedGeometry(
+            tris16=jax.device_put(tris16, sh(P(AXIS))),
+            table32=jax.device_put(table32, sh(P(AXIS))),
+            block_lo=jax.device_put(lo, sh(P(AXIS))),
+            block_hi=jax.device_put(hi, sh(P(AXIS))),
+            base=jax.device_put(base, sh(P(AXIS))),
+        )
+        # Full-geometry copies for the build-time sizing pass only (freed
+        # after sizing; the frame path touches only the sharded values).
+        self._full = (jnp.asarray(tris16), jnp.asarray(table32),
+                      jnp.asarray(lo), jnp.asarray(hi))
+
+        # 2D screen-tile ray layout, padded so tiles divide across shards.
+        self.tile_w = 32
+        self.tile_h = ray_tile // self.tile_w
+        perm, _, n_pad = cull.tiled_ray_order(width, height,
+                                              self.tile_w, self.tile_h)
+        self.n_pad = n_pad
+        nt = n_pad // ray_tile
+        nt_ext = -(-nt // self.n) * self.n
+        self.n_pad_ext = nt_ext * ray_tile
+        if self.n_pad_ext > n_pad:
+            perm = np.concatenate([perm, np.full(
+                (self.n_pad_ext - n_pad,), width * height - 1, np.int32)])
+        self.r_loc = self.n_pad_ext // self.n
+        self._perm = jax.device_put(jnp.asarray(perm), sh(P()))
+
+        camera = sizing_camera if sizing_camera is not None else scene.camera
+        counts = self._sizing_counts(camera)
+        self._freeze(counts)
+        self._full = None
+        self.last_counts = counts  # (n, 2) per-shard (primary, max shadow)
+
+    # -- sizing (build time, one device, full geometry) --------------------
+
+    def _size_a(self, cam, perm, blo, bhi):
+        d_rows = raygen.ray_rows_flat(cam, self.width, self.height, perm)
+        rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)
+        ti = cull.tile_intervals_packed(rays, self.rt)
+        mask, entry = cull.block_mask_with_entry(ti, blo, bhi)
+        return rays, mask, entry
+
+    def _per_shard(self, mask):
+        """(nt, NB_ext) mask -> (n,) per-shard kept-cell counts."""
+        nt = mask.shape[0]
+        return mask.reshape(nt, self.n, self.nb_loc).sum(axis=(0, 2))
+
+    def _size_b(self, w_full, tris16, table32, blo, bhi, cam, rays,
+                mask, entry):
+        wl = cull.compact_worklist(mask, w_full, entry=entry)
+        tris_cam = bsr_trace.pack_tris_origin(tris16, cam.pos)
+        no_excl = jnp.full((self.n_pad_ext,), -1, jnp.int32)
+        bt, bi = bsr_trace.bsr_nearest(
+            rays, no_excl, tris_cam, wl.tile_ids, wl.block_ids, wl.entry,
+            wl.count, rt=self.rt, tb=self.tb, w_pad=w_full,
+            interpret=self.interpret, shared_origin=True)
+        visited = jnp.repeat(mask.any(axis=1), self.rt)
+        bt = jnp.where(visited, bt, jnp.inf)
+        valid = jnp.isfinite(bt)
+        g = table32[jnp.clip(bi, 0, table32.shape[0] - 1)].T
+        prep = shade.prepare_packed_rows(self.lights_pos, rays,
+                                         jnp.where(valid, bt, 0.0), g,
+                                         self.cfg)
+        live_l = shade.light_gates_rows(self.lights_col, cam.pos, prep, valid)
+        per_ls = []
+        for li in range(self.n_lights):
+            ti_s = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
+                                              live=live_l[li], use_tmax=True)
+            smask, _ = cull.block_mask_with_entry(ti_s, blo, bhi)
+            per_ls.append(self._per_shard(smask))
+        return (jnp.stack(per_ls) if per_ls
+                else jnp.zeros((0, self.n), jnp.int32))
+
+    def _sizing_counts(self, camera) -> np.ndarray:
+        """(n, 2) int: per-shard primary cells, per-shard max-per-light
+        shadow cells, for `camera` — the bucket-sizing inputs."""
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        tris16, table32, blo, bhi = self._full
+        rays, mask, entry = jax.jit(self._size_a)(cam, self._perm, blo, bhi)
+        per_shard_p = np.asarray(self._per_shard(mask))
+        w_full = _bucket(int(mask.sum()))
+        size_b = jax.jit(functools.partial(self._size_b, w_full))
+        per_ls = np.asarray(size_b(tris16, table32, blo, bhi, cam, rays,
+                                   mask, entry))
+        per_shard_s = (per_ls.max(axis=0) if per_ls.size
+                       else np.zeros(self.n, np.int64))
+        return np.stack([per_shard_p, per_shard_s], axis=1)
+
+    # -- the sharded frame --------------------------------------------------
+
+    def _shard_fn(self, w_pad: int, w_pad_sh: int, cam: CameraArrays,
+                  geom: ShardedGeometry, perm):
+        n, rt, tb = self.n, self.rt, self.tb
+        gid0 = geom.base[0]
+
+        # 1-2: full-frame rays, cull vs LOCAL blocks, local BSR nearest.
+        d_rows = raygen.ray_rows_flat(cam, self.width, self.height, perm)
+        rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)   # (8, n_pad_ext)
+        ti = cull.tile_intervals_packed(rays, rt)
+        mask, entry = cull.block_mask_with_entry(ti, geom.block_lo,
+                                                 geom.block_hi)
+        count_p = mask.sum().astype(jnp.int32)
+        wl = cull.compact_worklist(mask, w_pad, entry=entry)
+        tris_cam = bsr_trace.pack_tris_origin(geom.tris16, cam.pos)
+        no_excl = jnp.full((self.n_pad_ext,), -1, jnp.int32)
+        bt, bi = bsr_trace.bsr_nearest(
+            rays, no_excl, tris_cam, wl.tile_ids, wl.block_ids, wl.entry,
+            wl.count, gid_base=gid0, rt=rt, tb=tb, w_pad=w_pad,
+            interpret=self.interpret, shared_origin=True)
+        visited = jnp.repeat(mask.any(axis=1), rt)
+        bt = jnp.where(visited, bt, jnp.inf)
+        bi = jnp.where(visited, bi, jnp.int32(bsr_trace.BIG_IDX))
+
+        # 3: candidate shading rows from the LOCAL table; candidates home.
+        loc = jnp.clip(bi - gid0, 0, geom.tris16.shape[0] - 1)
+        grows = geom.table32[loc]                          # (n_pad_ext, 32)
+        a2a = lambda x: jax.lax.all_to_all(x, AXIS, split_axis=0,
+                                           concat_axis=0, tiled=True)
+        bt_h = a2a(bt).reshape(n, self.r_loc)
+        bi_h = a2a(bi).reshape(n, self.r_loc)
+        g_h = a2a(grows).reshape(n, self.r_loc, 32)
+        best_t, best_i, best_g = bt_h[0], bi_h[0], g_h[0]
+        for s in range(1, n):
+            better = ((bt_h[s] < best_t)
+                      | ((bt_h[s] == best_t) & (bi_h[s] < best_i)))
+            best_t = jnp.where(better, bt_h[s], best_t)
+            best_i = jnp.where(better, bi_h[s], best_i)
+            best_g = jnp.where(better[:, None], g_h[s], best_g)
+        valid = jnp.isfinite(best_t)
+
+        # 4: resident shadow queries out, occlusion bits home.
+        me = jax.lax.axis_index(AXIS)
+        my_rays = jax.lax.dynamic_slice(
+            rays, (0, me * self.r_loc), (8, self.r_loc))
+        prep = shade.prepare_packed_rows(
+            self.lights_pos, my_rays, jnp.where(valid, best_t, 0.0),
+            best_g.T, self.cfg)
+        live_l = shade.light_gates_rows(self.lights_col, cam.pos, prep, valid)
+        excl = jnp.where(valid, best_i, -1)
+        lit = []
+        count_s = jnp.int32(0)
+        for li in range(self.n_lights):
+            q_g = jax.lax.all_gather(prep.q_rev[li], AXIS, axis=1, tiled=True)
+            live_g = jax.lax.all_gather(live_l[li], AXIS, tiled=True)
+            excl_g = jax.lax.all_gather(excl, AXIS, tiled=True)
+            ti_s = cull.tile_intervals_packed(q_g, rt, live=live_g,
+                                              use_tmax=True)
+            smask, sentry = cull.block_mask_with_entry(ti_s, geom.block_lo,
+                                                       geom.block_hi)
+            count_s = jnp.maximum(count_s, smask.sum().astype(jnp.int32))
+            swl = cull.compact_worklist(smask, w_pad_sh, entry=sentry)
+            tris_l = bsr_trace.pack_tris_origin(geom.tris16,
+                                                self.lights_pos[li])
+            hit = bsr_trace.bsr_any(
+                q_g, excl_g, tris_l, swl.tile_ids, swl.block_ids, swl.entry,
+                swl.count, gid_base=gid0, rt=rt, tb=tb, w_pad=w_pad_sh,
+                interpret=self.interpret, shared_origin=True)
+            hit = jnp.where(jnp.repeat(smask.any(axis=1), rt), hit, 0)
+            hit_h = a2a(hit).reshape(n, self.r_loc)
+            lit.append(hit_h.max(axis=0) == 0)
+        lit = (jnp.stack(lit) if lit
+               else jnp.zeros((0, self.r_loc), bool))
+
+        # 5: local Phong from the carried rows.
+        colour = shade.shade_core_rows(self.lights_col, cam.pos, prep,
+                                       valid, lit)
+        counts = jnp.stack([count_p, count_s])[None, :]    # (1, 2)
+        return colour, counts
+
+    def _freeze(self, counts: np.ndarray) -> None:
+        self.w_pad = _bucket(int(counts[:, 0].max()), self.margin)
+        self.w_pad_sh = _bucket(int(counts[:, 1].max()), self.margin)
+        fn = functools.partial(self._shard_fn, self.w_pad, self.w_pad_sh)
+        self._render_jit = jax.jit(shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(), ShardedGeometry(
+                tris16=P(AXIS), table32=P(AXIS), block_lo=P(AXIS),
+                block_hi=P(AXIS), base=P(AXIS)), P()),
+            out_specs=(P(None, AXIS), P(AXIS)),
+            check_vma=False,
+        ))
+
+    # -- public -------------------------------------------------------------
+
+    def device_fn(self, cam: CameraArrays):
+        """(colour rows (3, n_pad_ext), per-shard counts (n, 2)) on device."""
+        return self._render_jit(cam, self.geom, self._perm)
+
+    def _assemble(self, rows: jnp.ndarray) -> np.ndarray:
+        tw, th = self.tile_w, self.tile_h
+        tx, ty = -(-self.width // tw), -(-self.height // th)
+        img = np.asarray(rows)[:, :self.n_pad]
+        img = img.reshape(3, ty, tx, th, tw).transpose(1, 3, 2, 4, 0)
+        img = img.reshape(ty * th, tx * tw, 3)
+        return img[:self.height, :self.width]
+
+    def render(self, camera, verify: bool = False) -> np.ndarray:
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        rows, counts = self.device_fn(cam)
+        if verify:
+            c = np.asarray(counts)
+            if int(c[:, 0].max()) > self.w_pad or \
+                    int(c[:, 1].max()) > self.w_pad_sh:
+                self._freeze(c)                  # re-size from true counts
+                rows, counts = self.device_fn(cam)
+        self.last_counts = np.asarray(counts)
+        return self._assemble(rows)
+
+    def scheduled_pairs(self) -> int:
+        """Total (ray, triangle) pairs the last frame scheduled across all
+        shards (primary only) — the work-reduction diagnostic the dense
+        sharded paths cannot offer (they always do rays x T/N per shard)."""
+        return int(self.last_counts[:, 0].sum()) * self.rt * self.tb
