@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # plain float: keeps package import backend-free
 
 
 class TileIntervals(NamedTuple):

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from distributed_raytracer_tpu.models.scene import SceneArrays
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # plain float: keeps package import backend-free
 
 # Barycentric inclusion tolerance for float32 watertightness (see
 # _pair_quantities). Sized to dominate |x|*|k|*2^-23 rounding for scene

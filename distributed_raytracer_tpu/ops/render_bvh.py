@@ -72,7 +72,7 @@ class CulledRenderer:
         # the whole frame's field of view (parallel/render_sharded_bvh.py).
         self.raygen_height = height
 
-        arrays, tree = scene.bake_bvh(block_size=block_size)
+        arrays, tree = self._bake_scene(scene, block_size)
         self.arrays: SceneArrays = jax.device_put(arrays)
         self.tris_packed = jax.device_put(bsr_trace.pack_tris(arrays))
         self.shade_tbl = jax.device_put(shade.pack_table(self.arrays))
@@ -105,6 +105,11 @@ class CulledRenderer:
         self._stage_c_cache = {}
         self._fused = None          # frozen-bucket fast path
         self._last_counts = None    # (count, scounts) from the last sync render
+
+    def _bake_scene(self, scene: Scene, block_size: int):
+        """Bake hook: the dynamic renderer (ops/render_dynamic.py) overrides
+        this to group leaf blocks per object for exact AABB shifts."""
+        return scene.bake_bvh(block_size=block_size)
 
     # -- frame assembly ---------------------------------------------------
 
@@ -307,6 +312,7 @@ class CulledRenderer:
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
         pads_used = []
+        counts_used = []
 
         for b in range(depth + 1):
             w_pad = _bucket(int(count))
@@ -319,6 +325,7 @@ class CulledRenderer:
                 view)
             w_pad_sh = _bucket(int(scount))
             pads_used.append((w_pad, w_pad_sh))
+            counts_used.append((int(count), int(scount)))
             sc = jit_for(self._stage_c_cache, ("shade", b > 0, w_pad_sh),
                          self._stage_shade_fn, w_pad_sh)
             local = sc(self.arrays, self.tris_lights, view, hits, prep,
@@ -336,6 +343,10 @@ class CulledRenderer:
         colour = jnp.clip(colour, 0.0, 1.0)
         img = self._assemble(colour)
         self._last_bounce_pads = tuple(pads_used)
+        # Raw (unbucketed) counts: bucket sizing applies margins to these,
+        # never to already-rounded pads (margin-on-rounded over-allocates
+        # up to a granule and drifts from the culled path's discipline).
+        self._last_bounce_counts = tuple(counts_used)
         if block:
             jax.block_until_ready(img)
         return img
@@ -343,20 +354,30 @@ class CulledRenderer:
     def _full_bounced_fn(self, pads: tuple, scene: SceneArrays, tris_packed,
                          tris_lights, shade_tbl, block_lo, block_hi, perm,
                          cam: CameraArrays):
-        """Fused multi-bounce pipeline with fixed buckets (no host syncs)."""
-        rays, mask, entry, _ = self._stage_a_fn(cam, perm, block_lo, block_hi)
+        """Fused multi-bounce pipeline with fixed buckets (no host syncs).
+
+        Also returns the true per-bounce work counts as a (B, 2) int32
+        array [(primary cells, shadow cells) per bounce] so callers —
+        including the sharded band renderer — can verify the frozen buckets
+        still hold and refreeze on overflow instead of silently dropping
+        candidate blocks.
+        """
+        rays, mask, entry, count = self._stage_a_fn(cam, perm, block_lo,
+                                                    block_hi)
         colour = jnp.zeros((3, self.n_pad), jnp.float32)
         throughput = jnp.ones((3, self.n_pad), jnp.float32)
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
+        counts = []
         for b, (w_pad, w_pad_sh) in enumerate(pads):
-            (hits, prep, live_l, smasks, sentries, _,
-             r_rays, _, r_mask, r_entry, _) = self._stage_bounce_fn(
+            (hits, prep, live_l, smasks, sentries, scount,
+             r_rays, _, r_mask, r_entry, r_count) = self._stage_bounce_fn(
                 w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
                 rays, exclude, mask, entry, view)
             local = self._stage_shade_fn(w_pad_sh, scene, tris_lights, view,
                                          hits, prep, live_l, smasks, sentries)
             colour = colour + throughput * local
+            counts.append(jnp.stack([count, scount]).astype(jnp.int32))
             if b + 1 == len(pads):
                 break
             throughput = jnp.where(hits.valid[None, :],
@@ -364,25 +385,42 @@ class CulledRenderer:
             view = prep.x
             rays = r_rays
             exclude = hits.tri
-            mask, entry = r_mask, r_entry
+            mask, entry, count = r_mask, r_entry, r_count
         colour = jnp.clip(colour, 0.0, 1.0)
-        return self._assemble(colour)
+        return self._assemble(colour), jnp.stack(counts)
 
     def freeze_bounced(self, camera, depth: int, margin: float = 1.4):
         """Fuse the multi-bounce pipeline with buckets sized from one sync
-        render x margin. Returns the fused render function."""
+        render's RAW counts x margin. Returns the fused render function;
+        render(cam, verify=True) blocks to check the true per-bounce counts
+        against the buckets and refreezes + rerenders on overflow (the
+        multi-bounce analog of render_fast(verify=True))."""
         self.render_bounced(camera, depth, block=True)
-        pads = tuple(
-            (_bucket(w, margin), _bucket(wsh, margin))
-            for (w, wsh) in self._last_bounce_pads)
-        fused = jax.jit(functools.partial(self._full_bounced_fn, pads))
+        state = {}
 
-        def render(cam):
+        def freeze_from(counts):
+            state["pads"] = tuple((_bucket(c, margin), _bucket(sc, margin))
+                                  for (c, sc) in counts)
+            state["fused"] = jax.jit(functools.partial(
+                self._full_bounced_fn, state["pads"]))
+
+        freeze_from(self._last_bounce_counts)
+
+        def render(cam, verify: bool = False):
             c = cam.to_arrays() if isinstance(cam, Camera) else cam
-            return fused(self.arrays, self.tris_packed, self.tris_lights,
-                         self.shade_tbl, self.block_lo, self.block_hi,
-                         self._perm, c)
+            args = (self.arrays, self.tris_packed, self.tris_lights,
+                    self.shade_tbl, self.block_lo, self.block_hi,
+                    self._perm, c)
+            img, counts = state["fused"](*args)
+            if verify:
+                got = np.asarray(counts)
+                if any(g[0] > p[0] or g[1] > p[1]
+                       for g, p in zip(got, state["pads"])):
+                    freeze_from([tuple(g) for g in got])
+                    img, _ = state["fused"](*args)
+            return img
 
+        render.pads = lambda: state["pads"]
         return render
 
     # -- public ----------------------------------------------------------

@@ -10,15 +10,18 @@ gather, exactly like the reference's tile reassembly.
 
 Work-list buckets must be static under shard_map (no host syncs inside a
 traced computation), so they are sized by a per-band sizing pass on one
-device at build time, maxed across bands and padded by `margin`. Bucket
-overflow would drop candidate blocks; `sizing_camera` should be
-representative (the verify loop of the single-chip path applies here too).
+device at build time, maxed across bands and padded by `margin`. Every
+frame ALSO returns its true per-band counts; render(cam, verify=True)
+checks them against the frozen buckets and re-sizes + re-renders on
+overflow — without this a camera outside the sizing margin would silently
+drop candidate blocks, and the reference never displays a wrong tile
+(master/main.go:153-161).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +41,86 @@ from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
 AXIS = "bands"
 
 
+def _make_band(scene: Scene, width: int, height: int, mesh: Optional[Mesh],
+               cfg: RenderConfig, interpret: bool):
+    """Shared band setup: mesh, band-height renderer, per-band sizing walk.
+
+    Returns (mesh, n, h_band, band, size_bands) where size_bands(measure)
+    runs `measure(band)` once per band with the band's ray permutation
+    installed and returns the list of results — the sizing-pass skeleton
+    both renderer builders share.
+    """
+    if mesh is None:
+        mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
+    n = mesh.devices.size
+    h_band = -(-height // n)
+
+    band = CulledRenderer(scene, width, h_band, cfg=cfg, interpret=interpret)
+    band.raygen_height = height  # bands project with the full frame's fov
+
+    def size_bands(measure: Callable):
+        base_perm = np.asarray(band._perm)
+        out = []
+        for b in range(n):
+            band._perm = jax.device_put(
+                jnp.asarray(np.minimum(base_perm + b * h_band * width,
+                                       width * height - 1)))
+            out.append(measure(band))
+        band._perm = jax.device_put(jnp.asarray(base_perm))
+        return out
+
+    return mesh, n, h_band, band, size_bands
+
+
+def _band_perm(perm, me, h_band, width, height):
+    return jnp.minimum(perm + me * (h_band * width), width * height - 1)
+
+
+def _finish(mesh, n, h_band, band, shard_fn, height, refreeze):
+    """Common tail: shard_map wiring + the verify/render wrappers.
+
+    shard_fn(cam) -> (band image, counts row); counts stack to (n, K).
+    refreeze(counts (n, K)) rebuilds the jit with bigger buckets; it
+    returns the new shard_fn (state lives in the closure of the caller).
+    """
+    state = {"fn": shard_fn}
+
+    def build(fn):
+        sharded = shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(AXIS), P(AXIS)),
+            # Pallas out_shapes carry no varying-mesh-axes annotation; the
+            # kernels touch no collectives, so skip the vma typecheck.
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    state["jit"] = build(shard_fn)
+
+    def device_fn(cam: CameraArrays):
+        return state["jit"](band.arrays, band.tris_packed,
+                            band.tris_lights, band.shade_tbl,
+                            band.block_lo, band.block_hi, band._perm, cam)
+
+    def render(cam, verify: bool = False) -> np.ndarray:
+        c = cam.to_arrays() if isinstance(cam, Camera) else cam
+        out, counts = device_fn(c)
+        if verify:
+            got = np.asarray(counts)
+            new_fn = refreeze(got)
+            if new_fn is not None:
+                state["jit"] = build(new_fn)
+                out, counts = device_fn(c)
+        render.last_counts = np.asarray(counts)
+        return np.asarray(out)[:height]          # (height_padded, W, 3)
+
+    render.device_fn = device_fn
+    render.band = band
+    render.last_counts = None
+    return render
+
+
 def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
                                  mesh: Optional[Mesh] = None,
                                  sizing_camera: Optional[Camera] = None,
@@ -47,69 +130,45 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
     """Build a (cam) -> (H, W, 3) numpy renderer sharded over `mesh`.
 
     Returns the render function; `.device_fn` gives the still-sharded
-    device output for perf measurement without the host gather.
+    (image, counts) device outputs for perf measurement without the host
+    gather; render(cam, verify=True) re-sizes buckets on overflow.
     """
-    if mesh is None:
-        mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
-    n = mesh.devices.size
-    h_band = -(-height // n)
-    height_padded = h_band * n
-
-    # Band renderer: the single-chip pipeline at (width, h_band), reused on
-    # every device with a per-band row offset.
-    band = CulledRenderer(scene, width, h_band, cfg=cfg, interpret=interpret)
-    band.raygen_height = height  # bands project with the full frame's fov
+    mesh, n, h_band, band, size_bands = _make_band(
+        scene, width, height, mesh, cfg, interpret)
     camera = sizing_camera if sizing_camera is not None else scene.camera
 
-    # Sizing pass: run each band's stages on one device, take the max
-    # bucket over bands (static under shard_map).
-    max_count, max_scount = 0, 0
-    base_perm = np.asarray(band._perm)
-    for b in range(n):
-        band._perm = jax.device_put(
-            jnp.asarray(np.minimum(base_perm + b * h_band * width,
-                                   width * height - 1)))
-        band.render(camera, block=True)
-        c, sc = band._last_counts
-        max_count = max(max_count, c)
-        max_scount = max(max_scount, sc)
-    band._perm = jax.device_put(jnp.asarray(base_perm))
-    w_pad = _bucket(max_count, margin)
-    w_pad_sh = _bucket(max_scount, margin)
+    def measure(b):
+        b.render(camera, block=True)
+        return b._last_counts
 
-    def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
-                 block_lo, block_hi, perm, cam: CameraArrays):
-        me = jax.lax.axis_index(AXIS)
-        my_perm = jnp.minimum(perm + me * (h_band * width),
-                              width * height - 1)
-        img, _, _ = band._full_fn(
-            w_pad, w_pad_sh, scene_arrays, tris_packed, tris_lights,
-            shade_tbl, block_lo, block_hi, my_perm, cam)
-        return img  # (h_band, width, 3)
+    counts = size_bands(measure)
+    buckets = {"w": _bucket(max(c for c, _ in counts), margin),
+               "wsh": _bucket(max(sc for _, sc in counts), margin)}
 
-    sharded = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=P(AXIS),
-        # Pallas out_shapes carry no varying-mesh-axes annotation; the
-        # kernels touch no collectives, so skip the vma typecheck.
-        check_vma=False,
-    )
-    device_fn_jit = jax.jit(sharded)
+    def make_fn(w_pad, w_pad_sh):
+        def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
+                     block_lo, block_hi, perm, cam: CameraArrays):
+            me = jax.lax.axis_index(AXIS)
+            my_perm = _band_perm(perm, me, h_band, width, height)
+            img, count, scount = band._full_fn(
+                w_pad, w_pad_sh, scene_arrays, tris_packed, tris_lights,
+                shade_tbl, block_lo, block_hi, my_perm, cam)
+            counts = jnp.stack([count, scount]).astype(jnp.int32)[None]
+            return img, counts                  # (h_band, W, 3), (1, 2)
+        return shard_fn
 
-    def device_fn(cam: CameraArrays):
-        return device_fn_jit(band.arrays, band.tris_packed,
-                             band.tris_lights, band.shade_tbl,
-                             band.block_lo, band.block_hi, band._perm, cam)
+    def refreeze(got):
+        w = int(got[:, 0].max())
+        wsh = int(got[:, 1].max())
+        if w <= buckets["w"] and wsh <= buckets["wsh"]:
+            return None
+        buckets["w"] = max(buckets["w"], _bucket(w, margin))
+        buckets["wsh"] = max(buckets["wsh"], _bucket(wsh, margin))
+        return make_fn(buckets["w"], buckets["wsh"])
 
-    def render(cam) -> np.ndarray:
-        c = cam.to_arrays() if isinstance(cam, Camera) else cam
-        out = np.asarray(device_fn(c))          # (height_padded, W, 3)
-        return out[:height]
-
-    render.device_fn = device_fn
-    render.band = band
-    render.buckets = (w_pad, w_pad_sh)
+    render = _finish(mesh, n, h_band, band,
+                     make_fn(buckets["w"], buckets["wsh"]), height, refreeze)
+    render.buckets = lambda: (buckets["w"], buckets["wsh"])
     return render
 
 
@@ -123,64 +182,50 @@ def make_sharded_bounced_renderer(scene: Scene, width: int, height: int,
     CulledRenderer.freeze_bounced — BASELINE config 2 at scale).
 
     Same band decomposition as make_sharded_culled_renderer; per-bounce
-    work-list buckets are sized by running the sync multi-bounce pipeline
-    on every band once and maxing the buckets (static under shard_map).
-    Reflection rays stay within their band's pipeline — geometry is
-    replicated, so no cross-band exchange is needed (the geometry-sharded
-    secondary-ray schedules are parallel/ring.py and parallel/halo.py).
+    work-list buckets are sized from each band's RAW sync-render counts
+    (never from already-rounded pads) and verified per frame like the
+    culled variant. Reflection rays stay within their band's pipeline —
+    geometry is replicated, so no cross-band exchange is needed (the
+    geometry-sharded secondary-ray schedules are parallel/halo_bvh.py and
+    parallel/ring_bvh.py).
     """
-    if mesh is None:
-        mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
-    n = mesh.devices.size
-    h_band = -(-height // n)
-
-    band = CulledRenderer(scene, width, h_band, cfg=cfg, interpret=interpret)
-    band.raygen_height = height
+    mesh, n, h_band, band, size_bands = _make_band(
+        scene, width, height, mesh, cfg, interpret)
     camera = sizing_camera if sizing_camera is not None else scene.camera
 
-    # Per-band sizing pass: max each bounce's buckets over all bands.
-    pads = None
-    base_perm = np.asarray(band._perm)
-    for b in range(n):
-        band._perm = jax.device_put(
-            jnp.asarray(np.minimum(base_perm + b * h_band * width,
-                                   width * height - 1)))
-        band.render_bounced(camera, depth, block=True)
-        cur = band._last_bounce_pads
-        pads = cur if pads is None else tuple(
-            (max(p, c), max(ps, cs))
-            for (p, ps), (c, cs) in zip(pads, cur))
-    band._perm = jax.device_put(jnp.asarray(base_perm))
-    pads = tuple((_bucket(p, margin), _bucket(ps, margin)) for p, ps in pads)
+    def measure(b):
+        b.render_bounced(camera, depth, block=True)
+        return b._last_bounce_counts
 
-    def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
-                 block_lo, block_hi, perm, cam: CameraArrays):
-        me = jax.lax.axis_index(AXIS)
-        my_perm = jnp.minimum(perm + me * (h_band * width),
-                              width * height - 1)
-        return band._full_bounced_fn(
-            pads, scene_arrays, tris_packed, tris_lights, shade_tbl,
-            block_lo, block_hi, my_perm, cam)  # (h_band, width, 3)
+    per_band = size_bands(measure)
+    raw = tuple(tuple(max(band_counts[k][j] for band_counts in per_band)
+                      for j in range(2)) for k in range(depth + 1))
+    state = {"pads": tuple((_bucket(c, margin), _bucket(sc, margin))
+                           for c, sc in raw)}
 
-    sharded = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=P(AXIS),
-        check_vma=False,
-    )
-    device_fn_jit = jax.jit(sharded)
+    def make_fn(pads):
+        def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
+                     block_lo, block_hi, perm, cam: CameraArrays):
+            me = jax.lax.axis_index(AXIS)
+            my_perm = _band_perm(perm, me, h_band, width, height)
+            img, counts = band._full_bounced_fn(
+                pads, scene_arrays, tris_packed, tris_lights, shade_tbl,
+                block_lo, block_hi, my_perm, cam)
+            return img, counts[None]            # (h_band, W, 3), (1, B, 2)
+        return shard_fn
 
-    def device_fn(cam: CameraArrays):
-        return device_fn_jit(band.arrays, band.tris_packed,
-                             band.tris_lights, band.shade_tbl,
-                             band.block_lo, band.block_hi, band._perm, cam)
+    def refreeze(got):                          # got: (n, B, 2)
+        worst = got.max(axis=0)                 # (B, 2)
+        if all(int(worst[k, 0]) <= state["pads"][k][0]
+               and int(worst[k, 1]) <= state["pads"][k][1]
+               for k in range(depth + 1)):
+            return None
+        state["pads"] = tuple(
+            (max(p, _bucket(int(w), margin)), max(ps, _bucket(int(ws), margin)))
+            for (p, ps), (w, ws) in zip(state["pads"], worst))
+        return make_fn(state["pads"])
 
-    def render(cam) -> np.ndarray:
-        c = cam.to_arrays() if isinstance(cam, Camera) else cam
-        out = np.asarray(device_fn(c))          # (height_padded, W, 3)
-        return out[:height]
-
-    render.device_fn = device_fn
-    render.band = band
-    render.buckets = pads
+    render = _finish(mesh, n, h_band, band, make_fn(state["pads"]), height,
+                     refreeze)
+    render.buckets = lambda: state["pads"]
     return render

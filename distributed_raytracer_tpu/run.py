@@ -14,7 +14,15 @@ statistics (master/main.go:285-325) plus Mrays/s.
 Modes map to the reference topology:
   sequential  - single-chip dense sweep (worker/sequential analog)
   culled      - single-chip block-BVH path (the production path)
-  sharded     - SPMD over all local devices (master + workers analog)
+  sharded     - SPMD dense over all local devices (master + workers analog)
+  sharded-bvh - SPMD block-BVH bands, geometry replicated (the multi-chip
+                production path; supports --bounces)
+  halo        - geometry block-partitioned across devices, rays exchanged,
+                per-shard BVH culling (the config-5 scale path)
+  ring        - geometry rotated past resident rays (ring-attention
+                schedule), per-step BVH culling
+
+--bounces N adds Whitted specular reflection bounces (culled/sharded-bvh).
 """
 
 from __future__ import annotations
@@ -35,8 +43,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("scene", help="JSON scene file (reference schema)")
     p.add_argument("width", type=int)
     p.add_argument("height", type=int)
-    p.add_argument("--mode", choices=["sequential", "culled", "sharded"],
+    p.add_argument("--mode", choices=["sequential", "culled", "sharded",
+                                      "sharded-bvh", "halo", "ring"],
                    default="culled")
+    p.add_argument("--bounces", type=int, default=0,
+                   help="Whitted reflection bounces (culled / sharded-bvh)")
     p.add_argument("--frames", type=int, default=60,
                    help="animation frames to render")
     p.add_argument("--animation", choices=["orbit", "strafe", "none"],
@@ -53,7 +64,33 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", metavar="HOST:PORT", default=None,
                    help="serve an interactive browser viewer instead of the "
                         "scripted animation (the SDL window analog)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a jax.distributed gang (the master/worker "
+                        "topology analog); process 0 assembles + reports")
+    p.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                   help="coordinator address for --multihost (process 0 "
+                        "binds it, the registrar analog)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
+
+
+def _periodic_verify(render_v, period: int = 8):
+    """Run bucket-overflow verification every `period` frames only.
+
+    verify=True blocks on the frame's true work counts — ~2 host syncs
+    (30 ms each over a tunneled TPU), which would cap an interactive loop
+    at ~10 FPS if done per frame. Checking every 8th frame bounds a silent
+    overflow to 7 frames while keeping the loop async, the same containment
+    granularity as the reference's 2 s trace timeout vs 33 ms frames."""
+    k = [0]
+
+    def render(cam):
+        v = (k[0] % period) == 0
+        k[0] += 1
+        return render_v(cam, v)
+
+    return render
 
 
 def main(argv=None) -> int:
@@ -61,6 +98,14 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.multihost or args.coordinator:
+        # Must precede anything that touches the XLA backend (the package
+        # import itself is backend-free by design).
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
+
+    from distributed_raytracer_tpu.parallel import multihost
     from distributed_raytracer_tpu.utils.jaxtools import enable_compilation_cache
     enable_compilation_cache()
 
@@ -74,23 +119,65 @@ def main(argv=None) -> int:
     scene = load_scene(args.scene)
     w, h = args.width, args.height
 
+    interpret = jax.default_backend() != "tpu"
+    to_image = None   # multihost halo/ring: assemble gathered rows on host 0
     if args.mode == "sequential":
         arrays = jax.device_put(scene.bake())
         render = lambda cam: render_frame(arrays, cam.to_arrays(), w, h)
         render_arrays = lambda c: render_frame(arrays, c, w, h)
     elif args.mode == "culled":
-        culled = CulledRenderer(scene, w, h,
-                                interpret=jax.default_backend() != "tpu")
-        culled.render(scene.camera, block=True)
-        culled.freeze(scene.camera)
-        render = lambda cam: culled.render_fast(cam, verify=True)
-        render_arrays = lambda c: culled.render_fast(c)
+        culled = CulledRenderer(scene, w, h, interpret=interpret)
+        if args.bounces:
+            bounced = culled.freeze_bounced(scene.camera, args.bounces)
+            render = lambda cam: bounced(cam.to_arrays())
+            render_arrays = bounced
+        else:
+            culled.render(scene.camera, block=True)
+            culled.freeze(scene.camera)
+            render = _periodic_verify(
+                lambda cam, v: culled.render_fast(cam, verify=v))
+            render_arrays = lambda c: culled.render_fast(c)
+    elif args.mode == "sharded-bvh":
+        from distributed_raytracer_tpu.parallel import render_sharded_bvh
+        ndev = args.devices or len(jax.devices())
+        mesh = jax.make_mesh((ndev,), (render_sharded_bvh.AXIS,))
+        if args.bounces:
+            r = render_sharded_bvh.make_sharded_bounced_renderer(
+                scene, w, h, args.bounces, mesh=mesh, interpret=interpret)
+        else:
+            r = render_sharded_bvh.make_sharded_culled_renderer(
+                scene, w, h, mesh=mesh, interpret=interpret)
+        if args.multihost:
+            render = lambda cam: r.device_fn(cam.to_arrays())[0]
+            to_image = lambda a: np.asarray(a)[:h]
+        else:
+            render = _periodic_verify(lambda cam, v: r(cam, verify=v))
+        render_arrays = lambda c: r.device_fn(c)[0]
+    elif args.mode in ("halo", "ring"):
+        if args.mode == "halo":
+            from distributed_raytracer_tpu.parallel import halo_bvh as gmod
+            cls = gmod.HaloCulledRenderer
+        else:
+            from distributed_raytracer_tpu.parallel import ring_bvh as gmod
+            cls = gmod.RingCulledRenderer
+        ndev = args.devices or len(jax.devices())
+        mesh = jax.make_mesh((ndev,), (gmod.AXIS,))
+        r = cls(scene, w, h, mesh=mesh, interpret=interpret)
+        if args.multihost:
+            # Device rows stay sharded; host 0 assembles after the gather.
+            render = lambda cam: r.device_fn(cam.to_arrays())[0]
+            to_image = r._assemble
+        else:
+            render = _periodic_verify(lambda cam, v: r.render(cam, verify=v))
+        render_arrays = lambda c: r.device_fn(c)[0]
     else:
         arrays = jax.device_put(scene.bake())
-        sharded = render_sharded.make_sharded_renderer(
-            w, h, mesh=render_sharded.default_mesh(args.devices))
+        mesh = (multihost.global_mesh("tiles") if args.multihost
+                else render_sharded.default_mesh(args.devices))
+        sharded = render_sharded.make_sharded_renderer(w, h, mesh=mesh)
         render = lambda cam: sharded.device_fn(arrays, cam.to_arrays())
         render_arrays = lambda c: sharded.device_fn(arrays, c)
+        to_image = lambda flat: np.asarray(flat)[:w * h].reshape(h, w, 3)
 
     if args.serve:
         from distributed_raytracer_tpu.runtime import viewer as viewer_mod
@@ -131,9 +218,14 @@ def main(argv=None) -> int:
         tick = time.monotonic()
         timer.frame_issued()
         img = render(cam)
-        img_np = np.asarray(img)
+        # Frame assembly: host 0 gathers in multihost mode (the coordinator
+        # painting worker tiles, master/main.go:163-177); None elsewhere.
+        img_np = (multihost.gather_frame(img) if args.multihost
+                  else np.asarray(img))
         timer.frame_drawn()
-        if args.out:
+        if img_np is not None and to_image is not None:
+            img_np = to_image(img_np)
+        if args.out and img_np is not None:
             framebuffer.write_png(os.path.join(args.out, f"frame_{k:05d}.png"),
                                   img_np[:h])
         if ms_per_frame:
@@ -142,7 +234,7 @@ def main(argv=None) -> int:
                 time.sleep((ms_per_frame - elapsed) / 1000.0)
 
     stats = timer.stats()
-    if stats is not None:
+    if stats is not None and (not args.multihost or multihost.is_master()):
         print(stats.report())
         rays = w * h * (1 + scene.light_pos.shape[0])
         print(f"Throughput: {stats.mean_fps * w * h / 1e6:.2f} M primary rays/s "

@@ -67,6 +67,38 @@ def test_cli_sharded(scene_path):
     assert "Mean FPS" in res.stdout
 
 
+def test_cli_sharded_bvh(scene_path):
+    res = run_cli([scene_path, "48", "36", "--mode", "sharded-bvh",
+                   "--frames", "2", "--fps-target", "0",
+                   "--animation", "none", "--devices", "4"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Mean FPS" in res.stdout
+
+
+def test_cli_bounces(scene_path):
+    res = run_cli([scene_path, "48", "36", "--mode", "culled",
+                   "--bounces", "1", "--frames", "2", "--fps-target", "0",
+                   "--animation", "none"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Mean FPS" in res.stdout
+
+
+def test_cli_halo(scene_path):
+    res = run_cli([scene_path, "48", "36", "--mode", "halo",
+                   "--frames", "2", "--fps-target", "0",
+                   "--animation", "none", "--devices", "4"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Mean FPS" in res.stdout
+
+
+def test_cli_ring(scene_path):
+    res = run_cli([scene_path, "48", "36", "--mode", "ring",
+                   "--frames", "2", "--fps-target", "0",
+                   "--animation", "none", "--devices", "4"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Mean FPS" in res.stdout
+
+
 def test_cli_bad_args(scene_path):
     res = run_cli(["nonexistent.json", "48", "36"])
     assert res.returncode != 0

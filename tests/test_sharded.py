@@ -99,6 +99,34 @@ def test_sharded_culled_odd_height(tetra_scene):
     np.testing.assert_allclose(out, dense, atol=2e-5)
 
 
+def test_sharded_culled_overflow_refreeze(tetra_scene):
+    """A camera far inside the sizing margin must trigger a bucket re-size
+    (not silently wrong pixels) — the multi-chip analog of
+    render_fast(verify=True). The reference never displays a wrong tile
+    (master/main.go:153-161)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from distributed_raytracer_tpu.parallel import render_sharded_bvh
+
+    interpret = jax.default_backend() != "tpu"
+    mesh = jax.make_mesh((8,), (render_sharded_bvh.AXIS,))
+    render = render_sharded_bvh.make_sharded_culled_renderer(
+        tetra_scene, 40, 32, mesh=mesh, margin=1.0, interpret=interpret)
+    before = render.buckets()
+    close = tetra_scene.camera.move(2.4, forward=True)
+    out = render(close, verify=True)
+    # Counts recorded for the verified frame fit the (possibly re-sized)
+    # buckets, and the image matches the dense path exactly.
+    got = render.last_counts
+    w_pad, w_pad_sh = render.buckets()
+    assert int(got[:, 0].max()) <= w_pad and int(got[:, 1].max()) <= w_pad_sh
+    from distributed_raytracer_tpu.ops.render import render_frame
+    dense = np.asarray(render_frame(render.band.arrays,
+                                    close.to_arrays(), 40, 32))
+    np.testing.assert_allclose(out, dense, atol=2e-5)
+    del before
+
+
 def test_sharded_bounced_matches_single(suzanne_scene):
     """Multi-chip multi-bounce == single-chip multi-bounce (depth 1)."""
     if len(jax.devices()) < 8:
