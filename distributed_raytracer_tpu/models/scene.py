@@ -226,6 +226,84 @@ class Scene:
         tree = bvh_mod.build_block_bvh(arrays, slots >= 0, block_size)
         return arrays, tree
 
+    def bake_bvh_grouped(self, block_size: int = 128, dtype=np.float32):
+        """bake_bvh with per-OBJECT Morton ordering: no leaf block ever
+        spans two objects, so a per-frame object translation (SceneDiff)
+        shifts each block's AABB exactly — the structural requirement of
+        the dynamic renderer (ops/render_dynamic.py).
+
+        Returns (arrays, tree, obj_id (T,) int32 owner per slot,
+        block_obj (NB,) int32 owner per block, obj_pos0 (O, 3) float32
+        baked object positions)."""
+        from distributed_raytracer_tpu.models import bvh as bvh_mod
+
+        arrays = self.bake(dtype=dtype, tri_pad=block_size)
+        slots, obj_id = _grouped_order(self, arrays, block_size)
+        arrays = bvh_mod.reorder_scene(arrays, slots)
+        tree = bvh_mod.build_block_bvh(arrays, slots >= 0, block_size)
+        block_obj = obj_id.reshape(-1, block_size)[:, 0]
+        obj_pos0 = (np.stack([o.pos for o in self.objects])
+                    if self.objects else np.zeros((0, 3)))
+        return (arrays, tree, obj_id, block_obj,
+                obj_pos0.astype(np.float32))
+
+    def make_diff(self) -> "SceneDiff":
+        """Snapshot the current mutable state as a per-frame diff (the
+        master gob-encoding EnvMutables each frame, master/main.go:260-262)."""
+        obj_pos = (np.stack([o.pos for o in self.objects])
+                   if self.objects else np.zeros((0, 3)))
+        return SceneDiff(obj_pos=obj_pos.astype(np.float32),
+                         light_pos=np.asarray(self.light_pos, np.float32),
+                         light_col=np.asarray(self.light_col, np.float32))
+
+
+class SceneDiff(NamedTuple):
+    """Per-frame mutable scene state — the EnvMutables analog
+    (shared/state/environment.go:65-69: object positions + lights + camera;
+    the camera already rides every render call).
+
+    Where the reference gob-encodes the diff and every worker re-links + rebuilds
+    its R-tree per order (worker/distributed/main.go:56-64,
+    environment.go:73-98), here the diff is a tiny device pytree folded into
+    the baked arrays *on device under jit* (ops/render_dynamic.py) —
+    translation only touches plane_d/c_u/c_v/p0 and shifts whole-object
+    block AABBs, so no host re-bake or BVH rebuild happens at frame rate.
+    """
+
+    obj_pos: np.ndarray    # (O, 3) float32 ABSOLUTE object positions
+    light_pos: np.ndarray  # (L, 3) float32
+    light_col: np.ndarray  # (L, 3) float32
+
+
+def _grouped_order(scene: "Scene", arrays: SceneArrays, block_size: int):
+    """Per-object Morton ordering + gap alignment (objects never share a
+    leaf block, so a per-object translation shifts each block AABB exactly).
+
+    Returns (slots, obj_id) where slots is the reorder_scene map (-1 =
+    padding) and obj_id tags every output slot with its owner object index.
+    """
+    from distributed_raytracer_tpu.models import bvh as bvh_mod
+
+    p0 = np.asarray(arrays.p0, np.float64)
+    e1 = np.asarray(arrays.e1, np.float64)
+    e2 = np.asarray(arrays.e2, np.float64)
+    counts = [len(scene.meshes[o.model].faces_v) for o in scene.objects]
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    slot_chunks, id_chunks = [], []
+    for oi in range(len(scene.objects)):
+        a, b = int(starts[oi]), int(starts[oi + 1])
+        cent = p0[a:b] + (e1[a:b] + e2[a:b]) / 3.0
+        codes = bvh_mod.morton_codes(cent)
+        order = np.argsort(codes, kind="stable")
+        slots = bvh_mod.gap_aligned_slots(codes[order], block_size)
+        full = np.where(slots >= 0, a + order[np.maximum(slots, 0)], -1)
+        slot_chunks.append(full)
+        id_chunks.append(np.full(full.shape, oi, np.int32))
+    if not slot_chunks:
+        return (np.full(block_size, -1, np.int64),
+                np.zeros(block_size, np.int32))
+    return np.concatenate(slot_chunks), np.concatenate(id_chunks)
+
 
 def load_scene(path: str) -> Scene:
     """Load a JSON scene (the EnvironmentFromFile analog, environment.go:162-234)."""

@@ -22,12 +22,18 @@ Flow control (the standard double-buffer handshake):
     fast device from sending before a slow neighbor's kernel has even
     allocated its buffers.
 
-Scope: nearest-hit (t, global triangle id) for one resident ray set; the
-shading payload is fetched afterwards by the caller (parallel/ring.py's
-payload carry, or a halo-style all_to_all). Grid is
+Two online reductions over the same choreography:
+  - ring_nearest: (min t, then min global id) with an exclusion id per ray
+    (self-intersection masking for bounce rays);
+  - ring_any: any-hit OR with per-ray t_max (rays row 6) and exclusion —
+    the shadow phase. Together they make the RDMA transport a full
+    trace+shadow pipeline (worker/shared/tracer/tracer.go:53-91's loop),
+    consumed end-to-end by parallel/ring.make_ring_renderer(use_rdma=True).
+
+Scope: the shading payload is fetched afterwards by the caller (a
+psum_scatter of the owning shard's rows — parallel/ring.py). Grid is
 (n_steps, ray_tiles, tri_blocks); accumulators live in VMEM scratch for the
-whole kernel and flush to the output blocks on each tile's last triangle
-block (the final step's flush wins).
+whole kernel and flush to the output blocks on the final grid point.
 
 Intersection math and boundary semantics are ops/pallas/bsr_trace._pair_math
 (Baldwin-Weber, BARY_EPS-expanded inclusive bounds, den != 0, t >= 0) —
@@ -48,9 +54,13 @@ from distributed_raytracer_tpu.ops.intersect import BARY_EPS
 BIG_IDX = 2 ** 30
 
 
-def _ring_kernel(rays_ref, tris_hbm, out_t_ref, out_i_ref,
-                 buf, acc_t, acc_i, local_sem, send_sem, recv_sem, cap_sem,
-                 *, n: int, rt: int, tb: int, t_loc: int, axis: str):
+def _ring_kernel(rays_ref, excl_ref, tris_hbm, *refs, n: int, rt: int,
+                 tb: int, t_loc: int, axis: str, any_hit: bool):
+    if any_hit:
+        (out_ref, buf, acc, local_sem, send_sem, recv_sem, cap_sem) = refs
+    else:
+        (out_t_ref, out_i_ref, buf, acc_t, acc_i,
+         local_sem, send_sem, recv_sem, cap_sem) = refs
     s = pl.program_id(0)
     r = pl.program_id(1)
     b = pl.program_id(2)
@@ -97,8 +107,11 @@ def _ring_kernel(rays_ref, tris_hbm, out_t_ref, out_i_ref,
     # Seed this ray tile's accumulator on the first (step, tri-block) visit.
     @pl.when((s == 0) & (b == 0))
     def _():
-        acc_t[r, :] = jnp.full((rt,), jnp.inf, jnp.float32)
-        acc_i[r, :] = jnp.full((rt,), BIG_IDX, jnp.int32)
+        if any_hit:
+            acc[r, :] = jnp.zeros((rt,), jnp.int32)
+        else:
+            acc_t[r, :] = jnp.full((rt,), jnp.inf, jnp.float32)
+            acc_i[r, :] = jnp.full((rt,), BIG_IDX, jnp.int32)
 
     # --- intersection: rays tile x resident tri block (Baldwin-Weber) ---
     def rrow(i):
@@ -131,23 +144,34 @@ def _ring_kernel(rays_ref, tris_hbm, out_t_ref, out_i_ref,
     origin_dev = jax.lax.rem(me + n - s, n)
     base = origin_dev * t_loc + b * tb
     gid = base + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    valid = valid & (gid != excl_ref[0:1, :])
 
-    cand = jnp.where(valid, t, jnp.inf)
-    m = jnp.min(cand, axis=0)
-    sel = jnp.min(jnp.where(cand == m[None, :], gid, BIG_IDX), axis=0)
-    # Tie-break on global id: each device visits the shards in a different
-    # rotation order, so "first hit wins" would not be replica-consistent.
-    better = (m < acc_t[r, :]) | ((m == acc_t[r, :]) & (sel < acc_i[r, :]))
-    acc_t[r, :] = jnp.where(better, m, acc_t[r, :])
-    acc_i[r, :] = jnp.where(better, sel, acc_i[r, :])
+    if any_hit:
+        tmax = rrow(6)
+        hit = jnp.max(jnp.where(valid & (t <= tmax), 1, 0),
+                      axis=0)                               # (RT,)
+        acc[r, :] = jnp.maximum(acc[r, :], hit)
+    else:
+        cand = jnp.where(valid, t, jnp.inf)
+        m = jnp.min(cand, axis=0)
+        sel = jnp.min(jnp.where(cand == m[None, :], gid, BIG_IDX), axis=0)
+        # Tie-break on global id: each device visits the shards in a
+        # different rotation order, so "first hit wins" would not be
+        # replica-consistent.
+        better = (m < acc_t[r, :]) | ((m == acc_t[r, :]) & (sel < acc_i[r, :]))
+        acc_t[r, :] = jnp.where(better, m, acc_t[r, :])
+        acc_i[r, :] = jnp.where(better, sel, acc_i[r, :])
 
     # Last grid point: flush the full accumulator to the (single-block)
     # outputs. Outputs are whole-array blocks because Pallas forbids
     # revisiting a smaller per-tile output block across ring steps.
     @pl.when((s == n - 1) & (r == pl.num_programs(1) - 1) & (b == nb - 1))
     def _():
-        out_t_ref[0, :] = acc_t[...].reshape(-1)
-        out_i_ref[0, :] = acc_i[...].reshape(-1)
+        if any_hit:
+            out_ref[0, :] = acc[...].reshape(-1)
+        else:
+            out_t_ref[0, :] = acc_t[...].reshape(-1)
+            out_i_ref[0, :] = acc_i[...].reshape(-1)
 
     if n > 1:
         # Step end (this device's LAST compute touching slot `cur`): tell
@@ -168,9 +192,57 @@ def _ring_kernel(rays_ref, tris_hbm, out_t_ref, out_i_ref,
                 rdma(cur, nxt).wait()
 
 
+def _ring_call(rays_packed, exclude, tris_packed, *, n, rt, tb, axis,
+               interpret, collective_id, any_hit):
+    r_loc = rays_packed.shape[1]
+    t_loc = tris_packed.shape[1]
+    assert r_loc % rt == 0 and t_loc % tb == 0, (r_loc, rt, t_loc, tb)
+    n_tiles = r_loc // rt
+    n_blocks = t_loc // tb
+
+    kernel = functools.partial(_ring_kernel, n=n, rt=rt, tb=tb, t_loc=t_loc,
+                               axis=axis, any_hit=any_hit)
+    grid = (n, n_tiles, n_blocks)
+    if any_hit:
+        out_shape = (jax.ShapeDtypeStruct((1, r_loc), jnp.int32),)
+        out_specs = (pl.BlockSpec((1, r_loc), lambda s, r, b: (0, 0)),)
+        accs = [pltpu.VMEM((n_tiles, rt), jnp.int32)]
+    else:
+        out_shape = (jax.ShapeDtypeStruct((1, r_loc), jnp.float32),
+                     jax.ShapeDtypeStruct((1, r_loc), jnp.int32))
+        out_specs = (pl.BlockSpec((1, r_loc), lambda s, r, b: (0, 0)),
+                     pl.BlockSpec((1, r_loc), lambda s, r, b: (0, 0)))
+        accs = [pltpu.VMEM((n_tiles, rt), jnp.float32),
+                pltpu.VMEM((n_tiles, rt), jnp.int32)]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, rt), lambda s, r, b: (0, r)),
+            pl.BlockSpec((1, rt), lambda s, r, b: (0, r)),
+            pl.BlockSpec(memory_space=pl.ANY),       # resident shard in HBM
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, t_loc), jnp.float32),   # rotating buffers
+        ] + accs + [
+            pltpu.SemaphoreType.DMA,                   # local HBM->VMEM
+            pltpu.SemaphoreType.DMA((2,)),             # send per slot
+            pltpu.SemaphoreType.DMA((2,)),             # recv per slot
+            pltpu.SemaphoreType.REGULAR,               # capacity handshake
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+        interpret=interpret if interpret is not None else False,
+    )(rays_packed, exclude[None, :], tris_packed)
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("n", "rt", "tb", "axis",
                                              "interpret", "collective_id"))
-def ring_nearest(rays_packed: jnp.ndarray, tris_packed: jnp.ndarray, *,
+def ring_nearest(rays_packed: jnp.ndarray, tris_packed: jnp.ndarray,
+                 exclude: jnp.ndarray | None = None, *,
                  n: int, rt: int = 512, tb: int = 128, axis: str = "ring",
                  interpret=None, collective_id: int = 0):
     """Nearest hit of resident rays vs ALL shards via RDMA ring rotation.
@@ -179,43 +251,36 @@ def ring_nearest(rays_packed: jnp.ndarray, tris_packed: jnp.ndarray, *,
     are per-device values: rays_packed (8, R_loc) bsr_trace.pack_rays rows,
     tris_packed (16, T_loc) triangle rows (bsr_trace.pack_tris transposed —
     the ring kernel keeps triangles on the lane axis) of the RESIDENT shard
-    (equal T_loc everywhere; pad with degenerate triangles). Returns
+    (equal T_loc everywhere; pad with degenerate triangles). `exclude`
+    (R_loc,) int32 global ids masked per ray (-1 = none). Returns
     (best_t (R_loc,), best_gid (R_loc,)) with gid global across shards
     (shard d owns [d*T_loc, (d+1)*T_loc)).
 
     `interpret`: pass pltpu.InterpretParams() to run on CPU (tests).
     """
-    r_loc = rays_packed.shape[1]
-    t_loc = tris_packed.shape[1]
-    assert r_loc % rt == 0 and t_loc % tb == 0, (r_loc, rt, t_loc, tb)
-    n_tiles = r_loc // rt
-    n_blocks = t_loc // tb
-
-    kernel = functools.partial(_ring_kernel, n=n, rt=rt, tb=tb, t_loc=t_loc,
-                               axis=axis)
-    grid = (n, n_tiles, n_blocks)
-
-    out_t, out_i = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, rt), lambda s, r, b: (0, r)),
-            pl.BlockSpec(memory_space=pl.ANY),       # resident shard in HBM
-        ],
-        out_specs=(pl.BlockSpec((1, r_loc), lambda s, r, b: (0, 0)),
-                   pl.BlockSpec((1, r_loc), lambda s, r, b: (0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((1, r_loc), jnp.float32),
-                   jax.ShapeDtypeStruct((1, r_loc), jnp.int32)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, t_loc), jnp.float32),   # rotating buffers
-            pltpu.VMEM((n_tiles, rt), jnp.float32),    # acc_t
-            pltpu.VMEM((n_tiles, rt), jnp.int32),      # acc_i
-            pltpu.SemaphoreType.DMA,                   # local HBM->VMEM
-            pltpu.SemaphoreType.DMA((2,)),             # send per slot
-            pltpu.SemaphoreType.DMA((2,)),             # recv per slot
-            pltpu.SemaphoreType.REGULAR,               # capacity handshake
-        ],
-        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
-        interpret=interpret if interpret is not None else False,
-    )(rays_packed, tris_packed)
+    if exclude is None:
+        exclude = jnp.full((rays_packed.shape[1],), -1, jnp.int32)
+    out_t, out_i = _ring_call(rays_packed, exclude, tris_packed, n=n, rt=rt,
+                              tb=tb, axis=axis, interpret=interpret,
+                              collective_id=collective_id, any_hit=False)
     return out_t[0], out_i[0]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "rt", "tb", "axis",
+                                             "interpret", "collective_id"))
+def ring_any(rays_packed: jnp.ndarray, tris_packed: jnp.ndarray,
+             exclude: jnp.ndarray | None = None, *,
+             n: int, rt: int = 512, tb: int = 128, axis: str = "ring",
+             interpret=None, collective_id: int = 0):
+    """Any-hit (shadow) query vs ALL shards via RDMA ring rotation.
+
+    rays row 6 is the per-ray t_max (blocker range); `exclude` masks the
+    ray's own surface triangle (tracer.go:64's self-exclusion analog).
+    Returns (R_loc,) int32 0/1.
+    """
+    if exclude is None:
+        exclude = jnp.full((rays_packed.shape[1],), -1, jnp.int32)
+    (out,) = _ring_call(rays_packed, exclude, tris_packed, n=n, rt=rt,
+                        tb=tb, axis=axis, interpret=interpret,
+                        collective_id=collective_id, any_hit=True)
+    return out[0]

@@ -166,20 +166,93 @@ def _rotate(shard: RingShard, n: int) -> RingShard:
     return jax.tree.map(lambda a: jax.lax.ppermute(a, AXIS, perm), shard)
 
 
+def _hit_frames(payload: HitPayload, origins, dirs):
+    """(valid, x, normal, geo) from a folded payload — shared by both
+    transports (ppermute scan and RDMA kernel)."""
+    valid = jnp.isfinite(payload.t)
+    t_safe = jnp.where(valid, payload.t, 0.0)
+    x = origins[None, :] + t_safe[:, None] * dirs
+    r1 = 1.0 - payload.u - payload.v
+    nrm = (r1[:, None] * payload.n0 + payload.u[:, None] * payload.n1
+           + payload.v[:, None] * payload.n2)
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    normal = nrm / jnp.where(nlen > 0, nlen, 1.0)
+    glen = jnp.linalg.norm(payload.geo_n, axis=-1, keepdims=True)
+    geo = payload.geo_n / jnp.where(glen > 0, glen, 1.0)
+    return valid, x, normal, geo
+
+
+def _shadow_inputs(lights_pos, cfg, x, geo, valid):
+    """Per-light shadow segments (origin, dir, t_max) — tracer.go:64
+    semantics with the f32 normal lift."""
+    sh_origin, sh_dir, sh_tmax = [], [], []
+    for li in range(lights_pos.shape[0]):
+        to_l = lights_pos[li][None, :] - x
+        ldist = jnp.linalg.norm(to_l, axis=-1)
+        ldir = to_l / ldist[:, None]
+        side = jnp.where(jnp.einsum("cd,cd->c", geo, ldir) >= 0.0, 1.0, -1.0)
+        sh_origin.append(x + cfg.shadow_offset * ldir
+                         + (cfg.shadow_normal_offset * side)[:, None] * geo)
+        sh_dir.append(ldir)
+        sh_tmax.append(jnp.where(valid, ldist - cfg.shadow_offset, 0.0))
+    return sh_origin, sh_dir, sh_tmax
+
+
+def _phong(arrays: SceneArrays, lights_col, origins, x, normal, payload,
+           sh_dir, shadowed, valid):
+    """Phong accumulation from the carried payload (materials replicated)."""
+    mat = payload.mat
+    ka = jnp.asarray(arrays.mat_ka)[mat]
+    kd = jnp.asarray(arrays.mat_kd)[mat]
+    ks = jnp.asarray(arrays.mat_ks)[mat]
+    ns = jnp.asarray(arrays.mat_ns)[mat]
+    cam_dir = (origins[None, :] - x)
+    cdl = jnp.linalg.norm(cam_dir, axis=-1, keepdims=True)
+    cam_dir = cam_dir / jnp.where(cdl > 0, cdl, 1.0)
+
+    colour = ka
+    for li in range(len(sh_dir)):
+        ldir = sh_dir[li]
+        l_dot_n = jnp.einsum("cd,cd->c", ldir, normal)
+        diff = jnp.maximum(l_dot_n, 0.0)
+        refl = 2.0 * l_dot_n[:, None] * normal - ldir
+        spec = jnp.power(jnp.maximum(
+            jnp.einsum("cd,cd->c", refl, cam_dir), 0.0), ns)
+        contrib = (kd * diff[:, None] + ks * spec[:, None]) * lights_col[li][None, :]
+        lit = jnp.logical_not(shadowed[li])
+        colour = colour + jnp.where(lit[:, None], contrib, 0.0)
+    colour = jnp.minimum(colour, 1.0)
+    return jnp.where(valid[:, None], colour, 0.0)
+
+
 def make_ring_renderer(arrays: SceneArrays, width: int, height: int,
                        mesh: Optional[Mesh] = None,
-                       cfg: RenderConfig = DEFAULT_CONFIG):
+                       cfg: RenderConfig = DEFAULT_CONFIG,
+                       use_rdma: bool = False):
     """Build a jitted (sharded_scene, cam) -> flat colours renderer.
 
     `arrays` must already be padded via pad_for_ring(mesh size). Returns
     (render_fn, sharded_scene) where sharded_scene holds per-triangle fields
     sharded over the ring axis and small fields replicated.
+
+    use_rdma=True swaps the ppermute scan for the Pallas RDMA ring kernels
+    (ops/pallas/ring_trace.py): the geometry rotation is explicit
+    make_async_remote_copy traffic overlapped with intersection compute,
+    nearest + any-hit both, with the shading payload fetched afterwards by
+    a psum_scatter of the owning shard's rows. Same images, interchangeable
+    transports (tests/test_ring_rdma.py).
     """
     if mesh is None:
         mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
     n = mesh.devices.size
     n_rays = width * height
-    r_pad = -(-n_rays // n) * n
+    if use_rdma:
+        # Kernel tiling: ray tiles and triangle blocks need lane-multiple
+        # (128) extents per shard.
+        arrays = pad_for_ring(arrays, n * 128)
+        r_pad = -(-n_rays // (n * 128)) * (n * 128)
+    else:
+        r_pad = -(-n_rays // n) * n
 
     t_total = arrays.p0.shape[0]
     assert t_total % n == 0, "call pad_for_ring first"
@@ -221,29 +294,12 @@ def make_ring_renderer(arrays: SceneArrays, width: int, height: int,
 
         (payload, shard_back), _ = jax.lax.scan(step1, (init, shard), None, length=n)
 
-        valid = jnp.isfinite(payload.t)
-        t_safe = jnp.where(valid, payload.t, 0.0)
-        x = origins[None, :] + t_safe[:, None] * dirs
-        r1 = 1.0 - payload.u - payload.v
-        nrm = (r1[:, None] * payload.n0 + payload.u[:, None] * payload.n1
-               + payload.v[:, None] * payload.n2)
-        nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
-        normal = nrm / jnp.where(nlen > 0, nlen, 1.0)
-        glen = jnp.linalg.norm(payload.geo_n, axis=-1, keepdims=True)
-        geo = payload.geo_n / jnp.where(glen > 0, glen, 1.0)
+        valid, x, normal, geo = _hit_frames(payload, origins, dirs)
 
         # Phase 2: shadow ring per light (fused into one rotation by
         # carrying an (L, R) shadowed accumulator).
-        sh_origin, sh_dir, sh_tmax = [], [], []
-        for li in range(n_lights):
-            to_l = lights_pos[li][None, :] - x
-            ldist = jnp.linalg.norm(to_l, axis=-1)
-            ldir = to_l / ldist[:, None]
-            side = jnp.where(jnp.einsum("cd,cd->c", geo, ldir) >= 0.0, 1.0, -1.0)
-            sh_origin.append(x + cfg.shadow_offset * ldir
-                             + (cfg.shadow_normal_offset * side)[:, None] * geo)
-            sh_dir.append(ldir)
-            sh_tmax.append(jnp.where(valid, ldist - cfg.shadow_offset, 0.0))
+        sh_origin, sh_dir, sh_tmax = _shadow_inputs(lights_pos, cfg, x, geo,
+                                                    valid)
 
         def step2(carry, _):
             shadowed, sh = carry
@@ -256,36 +312,90 @@ def make_ring_renderer(arrays: SceneArrays, width: int, height: int,
         shadowed0 = _vary(jnp.zeros((n_lights, r_loc), bool))
         (shadowed, _), _ = jax.lax.scan(step2, (shadowed0, shard_back), None, length=n)
 
-        # Shade locally from the carried payload (materials replicated).
-        mat = payload.mat
-        ka = jnp.asarray(arrays.mat_ka)[mat]
-        kd = jnp.asarray(arrays.mat_kd)[mat]
-        ks = jnp.asarray(arrays.mat_ks)[mat]
-        ns = jnp.asarray(arrays.mat_ns)[mat]
-        cam_dir = (origins[None, :] - x)
-        cdl = jnp.linalg.norm(cam_dir, axis=-1, keepdims=True)
-        cam_dir = cam_dir / jnp.where(cdl > 0, cdl, 1.0)
+        return _phong(arrays, lights_col, origins, x, normal, payload,
+                      sh_dir, shadowed, valid)
 
-        colour = ka
+    def shard_fn_rdma(cam: CameraArrays, shard: RingShard, tris16T):
+        """The same schedule with the RDMA transport: the rotation is
+        explicit inter-chip make_async_remote_copy traffic inside the
+        Pallas kernels; the home device fetches the winning triangle's
+        shading rows afterwards with one psum_scatter (only the owner
+        contributes non-zero rows, so the sum IS the row)."""
+        from distributed_raytracer_tpu.ops.pallas import bsr_trace, ring_trace
+
+        me = jax.lax.axis_index(AXIS)
+        r_loc = r_pad // n
+        rt = 512 if r_loc % 512 == 0 else (256 if r_loc % 256 == 0 else 128)
+        idx = me * r_loc + jnp.arange(r_loc, dtype=jnp.int32)
+        dirs = raygen.ray_directions_flat(cam, width, height, idx)
+        rays = bsr_trace.pack_rays(cam.pos, dirs)
+        interp = (pltpu.InterpretParams()
+                  if jax.default_backend() != "tpu" else None)
+
+        bt, gid = ring_trace.ring_nearest(rays, tris16T, n=n, rt=rt,
+                                          axis=AXIS, interpret=interp,
+                                          collective_id=0)
+        valid = jnp.isfinite(bt)
+
+        # Payload fetch: gather all winner ids, every shard contributes its
+        # owned rows, psum_scatter homes each device's slice.
+        g_gid = jax.lax.all_gather(gid, AXIS, tiled=True)       # (r_pad,)
+        base = shard.base[0]
+        mine = (g_gid >= base) & (g_gid < base + t_shard)
+        loc = jnp.clip(g_gid - base, 0, t_shard - 1)
+
+        def fetch(a):
+            rows = a[loc]
+            contrib = jnp.where(mine[:, None] if rows.ndim > 1 else mine,
+                                rows, 0)
+            return jax.lax.psum_scatter(contrib, AXIS,
+                                        scatter_dimension=0, tiled=True)
+
+        n0, n1, n2 = fetch(shard.n0), fetch(shard.n1), fetch(shard.n2)
+        geo_n = fetch(shard.geo_n)
+        mat = fetch(shard.mat_id)
+        k_u, k_v = fetch(shard.k_u), fetch(shard.k_v)
+        c_u, c_v = fetch(shard.c_u), fetch(shard.c_v)
+        t_safe = jnp.where(valid, bt, 0.0)
+        x = cam.pos[None, :] + t_safe[:, None] * dirs
+        u = jnp.einsum("cd,cd->c", x, k_u) + c_u
+        v = jnp.einsum("cd,cd->c", x, k_v) + c_v
+        payload = HitPayload(t=bt, tri=gid, u=u, v=v, n0=n0, n1=n1, n2=n2,
+                             geo_n=geo_n, mat=mat)
+
+        valid, x, normal, geo = _hit_frames(payload, cam.pos, dirs)
+        sh_origin, sh_dir, sh_tmax = _shadow_inputs(lights_pos, cfg, x, geo,
+                                                    valid)
+        excl = jnp.where(valid, gid, -1)
+        shadowed = []
         for li in range(n_lights):
-            ldir = sh_dir[li]
-            l_dot_n = jnp.einsum("cd,cd->c", ldir, normal)
-            diff = jnp.maximum(l_dot_n, 0.0)
-            refl = 2.0 * l_dot_n[:, None] * normal - ldir
-            spec = jnp.power(jnp.maximum(
-                jnp.einsum("cd,cd->c", refl, cam_dir), 0.0), ns)
-            contrib = (kd * diff[:, None] + ks * spec[:, None]) * lights_col[li][None, :]
-            lit = jnp.logical_not(shadowed[li])
-            colour = colour + jnp.where(lit[:, None], contrib, 0.0)
-        colour = jnp.minimum(colour, 1.0)
-        return jnp.where(valid[:, None], colour, 0.0)
+            q = bsr_trace.pack_rays(sh_origin[li], sh_dir[li],
+                                    t_max=sh_tmax[li])
+            hit = ring_trace.ring_any(q, tris16T, excl, n=n, rt=rt,
+                                      axis=AXIS, interpret=interp,
+                                      collective_id=1)
+            shadowed.append(hit > 0)
+
+        return _phong(arrays, lights_col, cam.pos, x, normal, payload,
+                      sh_dir, shadowed, valid)
 
     tri_fields = RingShard._fields[:-1]  # all but base are arrays over tris
     shard_specs = RingShard(**{f: P(AXIS) for f in tri_fields}, base=P(AXIS))
 
-    sharded = shard_map(shard_fn, mesh=mesh,
-                        in_specs=(P(), shard_specs), out_specs=P(AXIS))
-    render_padded = jax.jit(sharded)
+    if use_rdma:
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F811
+        from distributed_raytracer_tpu.ops.pallas import bsr_trace as _bt
+
+        tris16T = jnp.asarray(np.ascontiguousarray(_bt.pack_tris(arrays).T))
+        sharded = shard_map(shard_fn_rdma, mesh=mesh,
+                            in_specs=(P(), shard_specs, P(None, AXIS)),
+                            out_specs=P(AXIS), check_vma=False)
+        render_jit = jax.jit(sharded)
+        render_padded = lambda c, sv: render_jit(c, sv, tris16T)
+    else:
+        sharded = shard_map(shard_fn, mesh=mesh,
+                            in_specs=(P(), shard_specs), out_specs=P(AXIS))
+        render_padded = jax.jit(sharded)
 
     # Build the sharded geometry value.
     bases = jnp.arange(n, dtype=jnp.int32) * t_shard

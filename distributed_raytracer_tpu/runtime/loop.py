@@ -19,8 +19,11 @@ instead treats a failed device step as a dropped frame and continues
 from __future__ import annotations
 
 import collections
+import logging
 import time
 from typing import Callable, Iterable, Optional
+
+_log = logging.getLogger(__name__)
 
 import jax
 import numpy as np
@@ -54,16 +57,20 @@ def run_loop(
     timer = FrameTimer()
     in_flight = collections.deque()  # (frame_index, device_array)
     frames_dropped = 0
+    consecutive_drops = 0
     ms_per_frame = 1000.0 / cfg.target_fps
 
     def drain_one():
-        nonlocal frames_dropped
+        nonlocal frames_dropped, consecutive_drops
         idx, fut = in_flight.popleft()
         try:
             img = np.asarray(fut)  # blocks until the device finishes
         except Exception:          # device failure -> dropped frame
             frames_dropped += 1
+            consecutive_drops += 1
+            _log.warning("frame %d dropped (device failure)", idx)
             return
+        consecutive_drops = 0
         timer.frame_drawn()
         if display is not None:
             display(idx, img)
@@ -85,10 +92,27 @@ def run_loop(
             camera = controller.apply(camera)
             frame_index = timer.frames_total
             timer.frame_issued()
-            fut = render_fn(scene_arrays, camera.to_arrays())
-            in_flight.append((frame_index, fut))
-            while len(in_flight) > cfg.frames_in_flight:
-                drain_one()
+            try:
+                # Dispatch-time protection: render_fn may raise before any
+                # device work is enqueued (bad buckets, host-side sizing,
+                # compile errors) — contain it like a failed tile
+                # (main.go:119-125), do not let it escape the loop.
+                fut = render_fn(scene_arrays, camera.to_arrays())
+            except Exception:
+                frames_dropped += 1
+                consecutive_drops += 1
+                _log.warning("frame %d dropped (dispatch failure)",
+                             frame_index)
+            else:
+                in_flight.append((frame_index, fut))
+                while len(in_flight) > cfg.frames_in_flight:
+                    drain_one()
+            if consecutive_drops >= cfg.max_consecutive_drops:
+                # Permanent failure: stop issuing instead of spinning at
+                # target FPS forever with every frame a drop.
+                _log.error("aborting after %d consecutive dropped frames",
+                           consecutive_drops)
+                break
             if max_frames is not None and timer.frames_total >= max_frames:
                 break
 

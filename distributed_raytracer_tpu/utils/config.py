@@ -42,6 +42,11 @@ class RenderConfig:
     tile_height: int = 50
     frames_in_flight: int = 2
     gimbal_nudge: float = 1e-4
+    # Failure containment: after this many CONSECUTIVE dropped frames the
+    # loop stops issuing work — the analog of the master's pool eviction
+    # ending the run when no worker answers (pool.go:224-260). A transient
+    # failure (one bad dispatch) just drops frames, like main.go:153-161.
+    max_consecutive_drops: int = 30
 
     # TPU-specific tunables (no reference equivalent).
     ray_chunk: int = 8192          # rays per lax.map chunk in the dense path

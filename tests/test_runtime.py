@@ -192,3 +192,79 @@ def test_orbit_events_shape():
     evs = list(animation.orbit_events(320, 10, fov=1.0))
     assert evs[0][0] == ("key_down", "a")
     assert evs[-1] == [("key_up", "a")]
+
+
+# ---- failure containment ----------------------------------------------------
+#
+# The reference's most-developed subsystem is failure detection: a failed or
+# unassignable tile drops the whole frame and the stream continues
+# (master/main.go:119-125,:153-161); a dead pool ends the run (pool.go:224-260).
+# The loop must contain BOTH dispatch-time failures (render_fn raises before
+# any device work is queued) and completion-time failures (the device array
+# poisons np.asarray), count them as drops, and abort after a run of
+# consecutive drops instead of spinning forever.
+
+def test_loop_survives_dispatch_failure(tetra_scene):
+    arrays = tetra_scene.bake()
+    calls = []
+
+    def flaky_render(scene, cam_arrays):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("injected dispatch failure")
+        return np.zeros((4, 4, 3), dtype=np.float32)
+
+    displayed = []
+    events = [[("key_down", "w")], [], [], [("key_up", "w")]]
+    cam, stats, dropped = run_loop(
+        arrays, tetra_scene.camera, flaky_render, 32, 24,
+        events=events, display=lambda i, img: displayed.append(i))
+    assert len(calls) == 3          # loop kept issuing after the failure
+    assert dropped == 1
+    assert displayed == [1, 2]      # frame 0 dropped, stream continued
+    assert stats.frames_drawn == 2
+
+
+def test_loop_survives_completion_failure(tetra_scene):
+    arrays = tetra_scene.bake()
+
+    class Poisoned:
+        def __array__(self, *a, **k):
+            raise RuntimeError("injected device failure")
+
+    count = [0]
+
+    def flaky_render(scene, cam_arrays):
+        count[0] += 1
+        if count[0] == 2:
+            return Poisoned()
+        return np.zeros((4, 4, 3), dtype=np.float32)
+
+    displayed = []
+    events = [[("key_down", "w")], [], [], [], [("key_up", "w")]]
+    cam, stats, dropped = run_loop(
+        arrays, tetra_scene.camera, flaky_render, 32, 24,
+        events=events, display=lambda i, img: displayed.append(i))
+    assert dropped == 1
+    assert displayed == [0, 2, 3]   # frame 1 dropped whole, in-order display
+    assert stats.frames_drawn == 3
+
+
+def test_loop_aborts_on_permanent_failure(tetra_scene):
+    """A permanently failing device must end the loop, not spin forever."""
+    import dataclasses
+
+    from distributed_raytracer_tpu.utils.config import DEFAULT_CONFIG
+
+    arrays = tetra_scene.bake()
+
+    def dead_render(scene, cam_arrays):
+        raise RuntimeError("device gone")
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_consecutive_drops=5)
+    # Endless input: without the abort this would run all 1000 ticks.
+    events = ([[("key_down", "w")]] + [[]] * 999)
+    cam, stats, dropped = run_loop(
+        arrays, tetra_scene.camera, dead_render, 32, 24,
+        events=events, cfg=cfg)
+    assert dropped == 5             # stopped at the abort threshold
