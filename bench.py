@@ -161,22 +161,35 @@ def main():
     # the same block-sparse path, geometry device-resident. Runs FIRST among
     # the extras: it is the north-star config and was silently dropped in
     # round 1. (The block-partitioned multi-host schedules are
-    # parallel/ring.py and parallel/halo.py, validated on the virtual mesh —
-    # a single chip holds this scene whole.)
+    # parallel/halo_bvh.py and parallel/ring_bvh.py, validated on the
+    # virtual mesh — a single chip holds this scene whole.)
+    # The bake itself takes minutes at 5.2M tris, so the baked bundle is
+    # cached on disk (tools/bake_cache.py); without a cache the config is
+    # honestly skipped rather than blowing the whole budget.
     if _budget_left() > 150:
         try:
-            c5 = S.icosphere_scene(9)
-            r5 = CulledRenderer(c5, width, height)
-            r5.render(c5.camera, block=True)
-            r5.freeze(c5.camera)
-            p5 = animation.orbit_camera_path(c5.camera, 3, radius=3.0,
-                                             revolutions=0.01)
-            s5 = _bench_frames(lambda c: r5.render_fast(c),
-                               [p.to_arrays() for p in p5], 4)
-            extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
-            extras["config5_5.2m_mrays"] = round(width * height / s5 / 1e6, 3)
-            _culled_extras(extras, "config5", r5, s5, width, height)
-            del r5, c5
+            from tools.bake_cache import load_icosphere9
+
+            prebaked_cam = load_icosphere9(build_if_missing=
+                                           _budget_left() > 400)
+            if prebaked_cam is None:
+                extras["config5_skipped"] = ("no bake cache; run "
+                                             "tools/bake_cache.py first")
+            else:
+                arrays5, tree5, cam5 = prebaked_cam
+                r5 = CulledRenderer(None, width, height,
+                                    prebaked=(arrays5, tree5))
+                r5.render(cam5, block=True)
+                r5.freeze(cam5)
+                p5 = animation.orbit_camera_path(cam5, 3, radius=3.0,
+                                                 revolutions=0.01)
+                s5 = _bench_frames(lambda c: r5.render_fast(c),
+                                   [p.to_arrays() for p in p5], 4)
+                extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
+                extras["config5_5.2m_mrays"] = round(
+                    width * height / s5 / 1e6, 3)
+                _culled_extras(extras, "config5", r5, s5, width, height)
+                del r5, arrays5
         except Exception as e:  # keep the headline metric alive
             extras["config5_error"] = repr(e)[:200]
     else:

@@ -190,8 +190,8 @@ def _pair_math(rays_ref, tris_ref, shared_origin: bool):
 
 def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, gid_base,
                     rays_ref, excl_ref, tris_ref, prev_t_ref, prev_i_ref,
-                    out_t_ref, out_i_ref, *, tb: int, shared_origin: bool,
-                    use_exit: bool = False):
+                    out_t_ref, out_i_ref, bound_ref, *, tb: int,
+                    shared_origin: bool, exit_every: int = 0):
     w = pl.program_id(0)
 
     # First step of a tile run: seed the VMEM accumulator from the carry.
@@ -200,21 +200,26 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, gid_base,
     def _():
         out_t_ref[:, :] = prev_t_ref[:, :]
         out_i_ref[:, :] = prev_i_ref[:, :]
+        if exit_every:
+            bound_ref[0] = jnp.float32(jnp.inf)
 
     # Padding slots (work-list replays past the real count) skip all compute;
     # their index maps repeat the previous block, so they trigger no DMA
     # either — a padded-to-pow2 work list costs ~nothing beyond its length.
     live = w < nreal[0]
-    # Front-to-back early exit (use_exit): the work list sorts each tile's
-    # blocks by conservative entry distance, so once every ray's current-best
-    # hit is closer than this block's entry, no later block can improve
-    # anything. (1e-4 slack guards the f32 interval arithmetic.) DISABLED by
-    # default: the jnp.max makes the pl.when predicate depend on the vector
-    # core's output, stalling the scalar core's DMA run-ahead every grid
-    # step — measured ~1.4us/step on v5e, far more than the skipped math
-    # (~0.8us/step) ever saved.
-    if use_exit:
-        live = live & (entry[w] <= jnp.max(out_t_ref[:, :]) + 1e-4)
+    # Front-to-back early exit (exit_every=K): the work list sorts each
+    # tile's blocks by conservative entry distance, so once every ray's
+    # current-best hit is closer than this block's entry, no later block in
+    # the tile can improve anything. A PER-STEP jnp.max(out_t) predicate
+    # stalls the scalar core's DMA run-ahead on the vector core every step
+    # (measured ~1.4us/step on v5e in round 1 — more than it saved), so the
+    # bound lives in SMEM and refreshes only every K steps: the vector->
+    # scalar sync amortizes K-fold while skipped steps still drop all pair
+    # math. Correct for ANY work-list order (each item is tested against
+    # its own exact entry; the bound only shrinks); the front-to-back sort
+    # is what makes it effective. (1e-4 slack guards f32 interval math.)
+    if exit_every:
+        live = live & (entry[w] <= bound_ref[0] + 1e-4)
 
     @pl.when(live)
     def _():
@@ -232,22 +237,29 @@ def _nearest_kernel(tile_ids, block_ids, first, entry, nreal, gid_base,
         better = (m < cur_t) | ((m == cur_t) & (sel < cur_i))
         out_t_ref[:, :] = jnp.where(better, m, cur_t)
         out_i_ref[:, :] = jnp.where(better, sel, cur_i)
+        if exit_every:
+            @pl.when(jax.lax.rem(w, exit_every) == exit_every - 1)
+            def _():
+                bound_ref[0] = jnp.max(out_t_ref[:, :])
 
 
 def _any_kernel(tile_ids, block_ids, first, entry, nreal, gid_base, rays_ref,
-                excl_ref, tris_ref, prev_ref, out_ref, *, tb: int,
-                shared_origin: bool, use_exit: bool = False):
+                excl_ref, tris_ref, prev_ref, out_ref, done_ref, *, tb: int,
+                shared_origin: bool, exit_every: int = 0):
     w = pl.program_id(0)
 
     @pl.when(first[w] == 1)
     def _():
         out_ref[:, :] = prev_ref[:, :]
+        if exit_every:
+            done_ref[0] = jnp.int32(0)
 
     live = w < nreal[0]
-    # Early exit disabled by default: see _nearest_kernel — the vector-
-    # dependent predicate costs more in scalar-core stalls than it saves.
-    if use_exit:
-        live = live & (jnp.min(out_ref[:, :]) == 0)
+    # Amortized early exit (see _nearest_kernel): once every ray of the
+    # tile is occluded (dead rays are pre-seeded as hit), later blocks
+    # cannot change anything. The done flag refreshes every K steps.
+    if exit_every:
+        live = live & (done_ref[0] == 0)
 
     @pl.when(live)
     def _():
@@ -257,9 +269,13 @@ def _any_kernel(tile_ids, block_ids, first, entry, nreal, gid_base, rays_ref,
         tmax = rays_ref[6:7, :]
         hit = jnp.max(jnp.where(valid & (t <= tmax), 1, 0), axis=0, keepdims=True)
         out_ref[:, :] = jnp.maximum(out_ref[:, :], hit)
+        if exit_every:
+            @pl.when(jax.lax.rem(w, exit_every) == exit_every - 1)
+            def _():
+                done_ref[0] = jnp.min(out_ref[:, :])
 
 
-def _grid_spec(w_seg: int, rt: int, tb: int, n_acc: int):
+def _grid_spec(w_seg: int, rt: int, tb: int, n_acc: int, bound_dtype):
     def ray_map(w, t_ids, b_ids, first, entry, nreal, gid_base):
         return (0, t_ids[w])
 
@@ -275,6 +291,7 @@ def _grid_spec(w_seg: int, rt: int, tb: int, n_acc: int):
             pl.BlockSpec((tb, 16), tri_map),     # triangle block (T, 16)
         ] + [pl.BlockSpec((1, rt), ray_map) for _ in range(n_acc)],  # carries
         out_specs=tuple(pl.BlockSpec((1, rt), ray_map) for _ in range(n_acc)),
+        scratch_shapes=[pltpu.SMEM((1,), bound_dtype)],  # early-exit bound
     )
 
 
@@ -289,7 +306,7 @@ def _segment_first(tile_ids: jnp.ndarray) -> jnp.ndarray:
 
 def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
                   tile_ids, block_ids, entry, count, *, rt, tb, w_pad,
-                  interpret, gid_base=None):
+                  interpret, gid_base=None, bound_dtype=jnp.float32):
     r = rays_packed.shape[1]
     excl2 = exclude[None, :]
     out_shape = tuple(jax.ShapeDtypeStruct((1, r), a.dtype) for a in init)
@@ -298,7 +315,7 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
         raise ValueError(f"w_pad={w_pad} not divisible into {n_seg} segments; "
                          "use bucket_w_pad()")
     w_seg = w_pad // n_seg
-    grid_spec = _grid_spec(w_seg, rt, tb, n_acc)
+    grid_spec = _grid_spec(w_seg, rt, tb, n_acc, bound_dtype)
     if gid_base is None:
         gid_base = jnp.zeros((1,), jnp.int32)
     else:
@@ -328,11 +345,11 @@ def _run_segments(kernel, n_acc, init, rays_packed, exclude, tris_packed,
 
 
 @functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret",
-                                              "shared_origin"))
+                                              "shared_origin", "exit_every"))
 def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
                 count=None, init_t=None, init_i=None, gid_base=None, *,
-                rt: int, tb: int, w_pad: int,
-                interpret: bool = False, shared_origin: bool = False):
+                rt: int, tb: int, w_pad: int, interpret: bool = False,
+                shared_origin: bool = False, exit_every: int = 0):
     """Nearest hit over the work list: (best_t (R,), best_idx (R,)).
 
     Outputs are defined ONLY for ray tiles that appear in the work list —
@@ -357,7 +374,8 @@ def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
             jnp.full((1, r), BIG_IDX, jnp.int32) if init_i is None
             else init_i.reshape(1, r).astype(jnp.int32))
     out_t, out_i = _run_segments(
-        functools.partial(_nearest_kernel, tb=tb, shared_origin=shared_origin),
+        functools.partial(_nearest_kernel, tb=tb, shared_origin=shared_origin,
+                          exit_every=exit_every),
         2, init,
         rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
         rt=rt, tb=tb, w_pad=w_pad, interpret=interpret, gid_base=gid_base)
@@ -365,10 +383,11 @@ def bsr_nearest(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
 
 
 @functools.partial(jax.jit, static_argnames=("rt", "tb", "w_pad", "interpret",
-                                              "shared_origin"))
+                                              "shared_origin", "exit_every"))
 def bsr_any(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
             count=None, init=None, gid_base=None, *, rt: int, tb: int,
-            w_pad: int, interpret: bool = False, shared_origin: bool = False):
+            w_pad: int, interpret: bool = False, shared_origin: bool = False,
+            exit_every: int = 0):
     """Any-hit (shadow) query with per-ray t_max. Returns int32 (R,) 0/1.
 
     Same visited-tiles-only output contract as bsr_nearest. `init` (R,)
@@ -384,8 +403,10 @@ def bsr_any(rays_packed, exclude, tris_packed, tile_ids, block_ids, entry,
     init = (jnp.zeros((1, r), jnp.int32) if init is None
             else init.reshape(1, r).astype(jnp.int32),)
     (out,) = _run_segments(
-        functools.partial(_any_kernel, tb=tb, shared_origin=shared_origin),
+        functools.partial(_any_kernel, tb=tb, shared_origin=shared_origin,
+                          exit_every=exit_every),
         1, init,
         rays_packed, exclude, tris_packed, tile_ids, block_ids, entry, count,
-        rt=rt, tb=tb, w_pad=w_pad, interpret=interpret, gid_base=gid_base)
+        rt=rt, tb=tb, w_pad=w_pad, interpret=interpret, gid_base=gid_base,
+        bound_dtype=jnp.int32)
     return out[0]

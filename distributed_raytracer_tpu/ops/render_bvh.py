@@ -57,30 +57,62 @@ def _next_pow2(n: int) -> int:
 _bucket = bsr_trace.bucket_w_pad
 
 
+def _slim_arrays(arrays: SceneArrays) -> SceneArrays:
+    """Strip the per-triangle fields the culled pipeline never reads before
+    the device transfer. Only shapes survive ((T, 0) placeholders keep
+    `p0.shape[0]` meaningful for id clamping); lights and material tables
+    stay real. The full host copy lives on as `renderer.arrays_host`."""
+    t = arrays.p0.shape[0]
+    e2 = np.zeros((t, 0), np.float32)
+    e1 = np.zeros((0,), np.float32)
+    return arrays._replace(
+        p0=e2, e1=e2, e2=e2, geo_n=e2, n0=e2, n1=e2, n2=e2,
+        k_u=e2, k_v=e2, plane_d=e1, c_u=e1, c_v=e1,
+        mat_id=np.zeros((0,), np.int32))
+
+
 class CulledRenderer:
     """Per-(scene, resolution) renderer instance with cached jit stages."""
 
-    def __init__(self, scene: Scene, width: int, height: int,
+    def __init__(self, scene: Optional[Scene], width: int, height: int,
                  cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, prebaked=None,
+                 exit_every: int = 8):
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
+        # Amortized front-to-back early exit (bsr_trace kernels): refresh
+        # the per-tile SMEM bound every `exit_every` work items; 0 = off.
+        self.exit_every = exit_every
         # Full-frame height for ray projection; the multi-chip band renderer
         # overrides this so each band's global pixel indices project with
         # the whole frame's field of view (parallel/render_sharded_bvh.py).
         self.raygen_height = height
 
-        arrays, tree = self._bake_scene(scene, block_size)
-        self.arrays: SceneArrays = jax.device_put(arrays)
-        self.tris_packed = jax.device_put(bsr_trace.pack_tris(arrays))
-        self.shade_tbl = jax.device_put(shade.pack_table(self.arrays))
+        # `prebaked` = (SceneArrays, BlockBVH) from a cached bake_bvh — the
+        # multi-million-triangle configs take minutes to bake, so bench and
+        # services cache the bundle on disk (bench.py config 5).
+        if prebaked is not None:
+            arrays, tree = prebaked
+        else:
+            arrays, tree = self._bake_scene(scene, block_size)
+        # Packing happens on the HOST and only the packed forms ship:
+        # the kernels consume tris_packed + shade_tbl + block AABBs, never
+        # the raw per-triangle fields, and at 5M triangles shipping those
+        # across a tunneled device link costs minutes for nothing.
+        self.arrays_host: SceneArrays = arrays
+        tris16_np = bsr_trace.pack_tris(arrays)
+        table_np = shade.pack_table(arrays, xp=np)
+        self.arrays: SceneArrays = jax.device_put(_slim_arrays(arrays))
+        self.tris_packed = jax.device_put(tris16_np)
+        self.shade_tbl = jax.device_put(table_np)
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
         # Per-light shared-origin triangle packs for the REVERSED shadow
         # kernels (bsr_trace.pack_tris_origin): (L*T, 16), light l's copy at
-        # rows [l*T, (l+1)*T). Lights are static per bake.
+        # rows [l*T, (l+1)*T). Lights are static per bake (the dynamic
+        # renderer refolds them per frame instead).
         n_lights = int(arrays.light_pos.shape[0])
         if n_lights:
             self.tris_lights = jax.device_put(jnp.concatenate(
@@ -152,7 +184,8 @@ class CulledRenderer:
         best_t, best_i = bsr_trace.bsr_nearest(
             rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
             wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
-            interpret=self.interpret, shared_origin=shared_origin)
+            interpret=self.interpret, shared_origin=shared_origin,
+            exit_every=self.exit_every)
         best_t = jnp.where(self._visited(mask), best_t, jnp.inf)
         return intersect.Hits(t=best_t,
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
@@ -224,7 +257,8 @@ class CulledRenderer:
         hit = bsr_trace.bsr_any(
             q, excl, tris_lights, wl.tile_ids, block_ids,
             wl.entry, wl.count, dead, rt=self.rt, tb=self.tb,
-            w_pad=w_pad_sh, interpret=self.interpret, shared_origin=True)
+            w_pad=w_pad_sh, interpret=self.interpret, shared_origin=True,
+            exit_every=self.exit_every)
         hit = hit.reshape(n_lights, self.n_pad)
         visited = jnp.repeat(smasks.any(axis=2), self.rt, axis=1)
         return jnp.where(visited, hit == 0, True)

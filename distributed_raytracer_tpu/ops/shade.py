@@ -73,17 +73,23 @@ _TBL = {"p0": 0, "k_u": 3, "k_v": 6, "n0": 9, "n1": 12, "n2": 15,
 TABLE_WIDTH = 32
 
 
-def pack_table(scene: SceneArrays) -> jnp.ndarray:
-    """(T, 32) float32 per-triangle shading rows (static per scene)."""
-    geo = scene.geo_n
-    glen = jnp.linalg.norm(geo, axis=-1, keepdims=True)
-    geo_unit = geo / jnp.where(glen > 0.0, glen, 1.0)
-    mat = scene.mat_id
+def pack_table(scene: SceneArrays, xp=jnp) -> jnp.ndarray:
+    """(T, 32) float32 per-triangle shading rows (static per scene).
+
+    Pass xp=numpy to build on the HOST: renderers pack once at construction
+    and ship only the result — at multi-million-triangle scale, computing on
+    device would first ship every raw per-triangle field across a (possibly
+    tunneled) link just to derive this one array."""
+    geo = xp.asarray(scene.geo_n)
+    glen = xp.linalg.norm(geo, axis=-1, keepdims=True)
+    geo_unit = geo / xp.where(glen > 0.0, glen, 1.0)
+    mat = xp.asarray(scene.mat_id)
     cols = [scene.p0, scene.k_u, scene.k_v, scene.n0, scene.n1, scene.n2,
-            geo_unit, scene.mat_ka[mat], scene.mat_kd[mat],
-            scene.mat_ks[mat], scene.mat_ns[mat][:, None],
-            jnp.zeros((scene.p0.shape[0], 1), jnp.float32)]
-    return jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
+            geo_unit, xp.asarray(scene.mat_ka)[mat],
+            xp.asarray(scene.mat_kd)[mat], xp.asarray(scene.mat_ks)[mat],
+            xp.asarray(scene.mat_ns)[mat][:, None],
+            xp.zeros((scene.p0.shape[0], 1), xp.float32)]
+    return xp.concatenate([xp.asarray(c, xp.float32) for c in cols], axis=1)
 
 
 def prepare(scene: SceneArrays, origins: jnp.ndarray, dirs: jnp.ndarray,

@@ -54,7 +54,7 @@ def test_culled_bounced_matches_dense(suzanne_scene):
     interpret = jax.default_backend() != "tpu"
     w, h = 48, 36
     r = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
-    dense = np.asarray(render_frame_bounced(r.arrays,
+    dense = np.asarray(render_frame_bounced(r.arrays_host,
                                             suzanne_scene.camera.to_arrays(),
                                             w, h, depth=2))
     culled = np.asarray(r.render_bounced(suzanne_scene.camera, depth=2))

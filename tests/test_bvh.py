@@ -119,7 +119,7 @@ def test_culled_matches_dense_suzanne(suzanne_scene, interpret):
     must agree to fp noise."""
     w, h = 64, 48
     r = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
-    dense = np.asarray(render_frame(r.arrays, suzanne_scene.camera.to_arrays(), w, h))
+    dense = np.asarray(render_frame(r.arrays_host, suzanne_scene.camera.to_arrays(), w, h))
     culled = np.asarray(r.render(suzanne_scene.camera))
     diff = np.abs(culled - dense).max(-1)
     assert (diff > 2 / 255).mean() < 0.005
@@ -130,7 +130,7 @@ def test_culled_moved_camera(suzanne_scene, interpret):
     w, h = 48, 36
     cam = suzanne_scene.camera.move(0.8, backward=True).yaw(0.3)
     r = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
-    dense = np.asarray(render_frame(r.arrays, cam.to_arrays(), w, h))
+    dense = np.asarray(render_frame(r.arrays_host, cam.to_arrays(), w, h))
     culled = np.asarray(r.render(cam))
     diff = np.abs(culled - dense).max(-1)
     assert (diff > 2 / 255).mean() < 0.005

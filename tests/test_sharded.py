@@ -94,7 +94,7 @@ def test_sharded_culled_odd_height(tetra_scene):
     out = render(tetra_scene.camera)
     assert out.shape == (30, 40, 3)
     from distributed_raytracer_tpu.ops.render import render_frame
-    dense = np.asarray(render_frame(render.band.arrays,
+    dense = np.asarray(render_frame(render.band.arrays_host,
                                     tetra_scene.camera.to_arrays(), 40, 30))
     np.testing.assert_allclose(out, dense, atol=2e-5)
 
@@ -121,7 +121,7 @@ def test_sharded_culled_overflow_refreeze(tetra_scene):
     w_pad, w_pad_sh = render.buckets()
     assert int(got[:, 0].max()) <= w_pad and int(got[:, 1].max()) <= w_pad_sh
     from distributed_raytracer_tpu.ops.render import render_frame
-    dense = np.asarray(render_frame(render.band.arrays,
+    dense = np.asarray(render_frame(render.band.arrays_host,
                                     close.to_arrays(), 40, 32))
     np.testing.assert_allclose(out, dense, atol=2e-5)
     del before
