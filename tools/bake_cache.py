@@ -16,7 +16,9 @@ import time
 
 import numpy as np
 
-CACHE_DIR = os.environ.get("DRT_SCENE_CACHE", "/root/.cache/drt_scenes")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE_DIR = os.environ.get("DRT_SCENE_CACHE",
+                           os.path.join(_REPO_ROOT, ".scene_cache"))
 # Bump when bake_bvh/packing layout changes invalidate cached bundles.
 VERSION = 1
 
