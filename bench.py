@@ -84,7 +84,7 @@ def _culled_extras(extras, key, renderer, seconds, w, h):
 
     if renderer._last_counts is None:
         return
-    count, scount = renderer._last_counts
+    _, count, _, scount = renderer._last_counts   # fine-level cells
     work = profiling.FrameWork(
         primary_cells=int(count), shadow_cells=int(scount),
         rays=w * h, ray_tile=renderer.rt, tri_block=renderer.tb,

@@ -190,6 +190,49 @@ def tiled_ray_order(width: int, height: int, tile_w: int, tile_h: int):
     return perm, inv_real, n_slots
 
 
+def superblock_bounds(block_lo: jnp.ndarray, block_hi: jnp.ndarray,
+                      group: int):
+    """Union AABBs of `group` consecutive blocks (Morton order makes
+    consecutive blocks spatially coherent, so the unions are tight).
+    Tail padding uses inverted (+inf, -inf) boxes, which never pass the
+    slab test. Computed on the fly from the (possibly per-frame shifted)
+    block AABBs, so the dynamic-diff path stays exact."""
+    nb = block_lo.shape[0]
+    nsb = -(-nb // group)
+    pad = nsb * group - nb
+    if pad:
+        block_lo = jnp.concatenate(
+            [block_lo, jnp.full((pad, 3), INF, block_lo.dtype)])
+        block_hi = jnp.concatenate(
+            [block_hi, jnp.full((pad, 3), -INF, block_hi.dtype)])
+    sb_lo = block_lo.reshape(nsb, group, 3).min(axis=1)
+    sb_hi = block_hi.reshape(nsb, group, 3).max(axis=1)
+    return sb_lo, sb_hi
+
+
+def _mask_rows(o_lo, o_hi, d_lo, d_hi, t_hi, blo, bhi):
+    """block_mask_with_entry's slab math for PAIRED rows: tile hulls
+    (W, 3) against per-row block groups (W, G, 3) -> (W, G) mask + entry.
+    (The flat version broadcasts all tiles x all blocks; this one tests
+    each work item's tile against only its group's member blocks.)"""
+    a = blo - o_hi[:, None, :]                        # (W, G, 3)
+    b = bhi - o_lo[:, None, :]
+    dl = d_lo[:, None, :]
+    dh = d_hi[:, None, :]
+    straddle = (dl <= 0.0) & (dh >= 0.0)
+    q1 = a / jnp.where(dl == 0.0, 1.0, dl)
+    q2 = a / jnp.where(dh == 0.0, 1.0, dh)
+    q3 = b / jnp.where(dl == 0.0, 1.0, dl)
+    q4 = b / jnp.where(dh == 0.0, 1.0, dh)
+    t_lo_axis = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
+    t_hi_axis = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+    t_lo_axis = jnp.where(straddle, -INF, t_lo_axis)
+    t_hi_axis = jnp.where(straddle, INF, t_hi_axis)
+    enter = jnp.maximum(t_lo_axis.max(axis=2), 0.0)
+    exit_ = jnp.minimum(t_hi_axis.min(axis=2), t_hi[:, None])
+    return enter <= exit_, enter
+
+
 class WorkList(NamedTuple):
     tile_ids: jnp.ndarray    # (W,) int32, sorted ascending
     block_ids: jnp.ndarray   # (W,) int32
@@ -197,16 +240,101 @@ class WorkList(NamedTuple):
     count: jnp.ndarray       # () int32 number of real entries (rest repeat the last)
 
 
+def coarse_mask(ti: TileIntervals, block_lo: jnp.ndarray,
+                block_hi: jnp.ndarray, group: int):
+    """Level-1 cull: (nTiles, nSB) mask + entry against superblock AABBs.
+
+    The flat (nTiles, nBlocks) mask is O(tiles x blocks) interval math plus
+    an O(tiles x blocks) argsort per compaction — at 49K blocks (5.2M tris)
+    that work dominated the whole frame (measured 611 ms at config 5, most
+    of it mask + sort). Grouping `group` consecutive Morton blocks into a
+    superblock makes level 1 `group`x smaller; fine_worklist then tests
+    only the survivors' member blocks."""
+    sb_lo, sb_hi = superblock_bounds(block_lo, block_hi, group)
+    m, e = block_mask_with_entry(ti, sb_lo, sb_hi)
+    return m, e, m.sum()
+
+
+def fine_worklist(ti: TileIntervals, mask1: jnp.ndarray, entry1: jnp.ndarray,
+                  count1, block_lo: jnp.ndarray, block_hi: jnp.ndarray,
+                  group: int, w1_pad: int, w_pad: Optional[int]):
+    """Level-2 cull: expand the compacted level-1 (tile, superblock) list
+    into per-member-block tests and compact the survivors.
+
+    Returns (WorkList, count2). With w_pad=None only count2 is needed (the
+    sizing pass): the final compaction is skipped and WorkList is None.
+    The result is tile-major (inherited from the level-1 compaction order)
+    and approximately front-to-back within each tile (superblock entry
+    order; each item still carries its exact block entry for the kernels'
+    early-exit bound, so the order only affects how soon the bound bites).
+    """
+    nb = block_lo.shape[0]
+    nsb = -(-nb // group)
+    pad = nsb * group - nb
+    wl1 = compact_worklist(mask1, w1_pad, entry=entry1, count=count1)
+    if pad:
+        block_lo = jnp.concatenate(
+            [block_lo, jnp.full((pad, 3), INF, block_lo.dtype)])
+        block_hi = jnp.concatenate(
+            [block_hi, jnp.full((pad, 3), -INF, block_hi.dtype)])
+    blo_g = block_lo.reshape(nsb, group, 3)[wl1.block_ids]   # (W1, G, 3)
+    bhi_g = block_hi.reshape(nsb, group, 3)[wl1.block_ids]
+    t = wl1.tile_ids
+    mask2, entry2 = _mask_rows(ti.o_lo[t], ti.o_hi[t], ti.d_lo[t],
+                               ti.d_hi[t], ti.t_hi[t], blo_g, bhi_g)
+    # Level-1 padding slots replay the last real item; gate their member
+    # cells off so the fine list carries no duplicates.
+    slot = jnp.arange(w1_pad, dtype=jnp.int32)
+    mask2 = mask2 & (slot < wl1.count)[:, None]
+    flat = mask2.reshape(-1)
+    count2 = flat.sum().astype(jnp.int32)
+    if w_pad is None:
+        return None, count2
+    # Compact preserving the level-1 order: position is the sort key, so
+    # tile-major + front-to-back survive the expansion.
+    pos = jnp.arange(w1_pad * group, dtype=jnp.int32)
+    key = jnp.where(flat, pos, jnp.int32(2 ** 31 - 1))
+    order = jnp.argsort(key).astype(jnp.int32)
+    if w_pad <= order.size:
+        order = order[:w_pad]
+    else:
+        order = jnp.concatenate(
+            [order, jnp.zeros((w_pad - order.size,), jnp.int32)])
+    last = order[jnp.maximum(count2 - 1, 0)]
+    s = jnp.arange(w_pad, dtype=jnp.int32)
+    cell = jnp.where(s < count2, order, last)
+    item, j = cell // group, cell % group
+    wl = WorkList(tile_ids=wl1.tile_ids[item],
+                  block_ids=wl1.block_ids[item] * group + j,
+                  entry=entry2.reshape(-1)[cell],
+                  count=count2)
+    return wl, count2
+
+
+def visited_tiles(wl: WorkList, n_tiles: int) -> jnp.ndarray:
+    """(n_tiles,) bool: exactly the ray tiles the kernels wrote (appear in
+    the work list, INCLUDING padding replays — those seed the accumulator
+    too). Output blocks of other tiles are undefined memory; callers mask
+    by this. (The coarse mask is NOT a safe proxy: a tile can pass level 1
+    and lose every member at level 2.)"""
+    return jnp.zeros((n_tiles,), bool).at[wl.tile_ids].set(True)
+
+
 def compact_worklist(mask: jnp.ndarray, w_pad: int,
-                     entry: Optional[jnp.ndarray] = None) -> WorkList:
+                     entry: Optional[jnp.ndarray] = None,
+                     count=None) -> WorkList:
     """Flatten the (nTiles, NB) mask into a tile-major work list of length
     w_pad. Within each tile, blocks are ordered front-to-back by `entry`
     (when given) so the kernels' early-exit bounds bite as soon as possible.
     Entries past `count` repeat the last real entry (the kernels'
-    min/max-accumulation is idempotent, so replays are harmless no-ops)."""
+    min/max-accumulation is idempotent, so replays are harmless no-ops).
+    `count` may pass a precomputed mask.sum() to skip the reduction."""
     nt, nb = mask.shape
     flat = mask.reshape(-1)
-    count = flat.sum().astype(jnp.int32)
+    if count is None:
+        count = flat.sum().astype(jnp.int32)
+    else:
+        count = count.astype(jnp.int32)
     if entry is None:
         # Stable argsort of (!mask) puts kept cells first in tile-major
         # order — tile_ids ascend, so output blocks are revisited

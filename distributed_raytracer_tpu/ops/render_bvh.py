@@ -78,13 +78,18 @@ class CulledRenderer:
                  cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
                  interpret: bool = False, prebaked=None,
-                 exit_every: int = 8):
+                 exit_every: int = 8, cull_group: int = 16):
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
         # Amortized front-to-back early exit (bsr_trace kernels): refresh
         # the per-tile SMEM bound every `exit_every` work items; 0 = off.
         self.exit_every = exit_every
+        # Two-level cull: `cull_group` consecutive Morton blocks form one
+        # superblock for the coarse mask (cull.coarse_mask/fine_worklist).
+        # At 49K blocks (config 5) the flat mask + its argsort dominated
+        # the frame; the hierarchy shrinks both by ~group x.
+        self.cull_group = cull_group
         # Full-frame height for ray projection; the multi-chip band renderer
         # overrides this so each band's global pixel indices project with
         # the whole frame's field of view (parallel/render_sharded_bvh.py).
@@ -109,18 +114,21 @@ class CulledRenderer:
         self.shade_tbl = jax.device_put(table_np)
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
-        # Per-light shared-origin triangle packs for the REVERSED shadow
-        # kernels (bsr_trace.pack_tris_origin): (L*T, 16), light l's copy at
-        # rows [l*T, (l+1)*T). Lights are static per bake (the dynamic
-        # renderer refolds them per frame instead).
+        # MXU direction matrix A = [n; k_u; k_v] per block (static — it is
+        # translation-invariant) + per-light origin-folded scalar triples
+        # for the REVERSED shadow kernels: (L*T, 8), light l's rows at
+        # [l*T, (l+1)*T). Lights are static per bake (the dynamic renderer
+        # refolds the scalars per frame instead; A never changes).
+        self.tris_dirs = jax.device_put(
+            bsr_trace.pack_dirs(tris16_np, block_size))
         n_lights = int(arrays.light_pos.shape[0])
         if n_lights:
-            self.tris_lights = jax.device_put(jnp.concatenate(
-                [bsr_trace.pack_tris_origin(self.tris_packed,
+            self.lights_scal = jax.device_put(jnp.concatenate(
+                [bsr_trace.fold_origin_scal(self.tris_packed,
                                             self.arrays.light_pos[li])
                  for li in range(n_lights)], axis=0))
         else:
-            self.tris_lights = self.tris_packed
+            self.lights_scal = jnp.zeros((0, 8), jnp.float32)
 
         # 2D screen tiles (32 x rt/32 pixels): see module docstring.
         self.tile_w = 32
@@ -135,8 +143,11 @@ class CulledRenderer:
         self._stage_a = jax.jit(self._stage_a_fn)
         self._stage_b_cache = {}
         self._stage_c_cache = {}
+        self._count_fine_cache = {}
         self._fused = None          # frozen-bucket fast path
-        self._last_counts = None    # (count, scounts) from the last sync render
+        # (c1, c2, sc1, sc2) from the last sync render: coarse/fine primary
+        # cells, coarse/fine shadow cells.
+        self._last_counts = None
 
     def _bake_scene(self, scene: Scene, block_size: int):
         """Bake hook: the dynamic renderer (ops/render_dynamic.py) overrides
@@ -165,89 +176,125 @@ class CulledRenderer:
                                       perm)
         rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)
         ti = cull.tile_intervals_packed(rays, self.rt)
-        mask, entry = cull.block_mask_with_entry(ti, block_lo, block_hi)
-        return rays, mask, entry, mask.sum()
+        mask1, entry1, c1 = cull.coarse_mask(ti, block_lo, block_hi,
+                                             self.cull_group)
+        return rays, ti, mask1, entry1, c1
+
+    def _count_fine(self, w1_pad: int):
+        """Jitted fine-cell counter for the sizing renders (shared by the
+        primary and shadow masks — jax.jit retraces per input shape)."""
+        fn = self._count_fine_cache.get(w1_pad)
+        if fn is None:
+            def count_fn(block_lo, block_hi, ti, mask1, entry1, c1):
+                m = mask1.reshape(-1, mask1.shape[-1])
+                e = entry1.reshape(-1, entry1.shape[-1])
+                _, c2 = cull.fine_worklist(ti, m, e, c1, block_lo, block_hi,
+                                           self.cull_group, w1_pad, None)
+                return c2
+            fn = jax.jit(count_fn)
+            self._count_fine_cache[w1_pad] = fn
+        return fn
 
     # -- stage B: nearest hit + shadow masks -----------------------------
 
-    def _visited(self, mask: jnp.ndarray) -> jnp.ndarray:
-        """(n_pad,) bool: does this ray's tile appear in the work list at all?
-        Pallas output blocks of unvisited tiles are never written (the grid
-        skips them), so their memory is undefined — kernel results are only
-        meaningful where the tile had work. Unvisited means the cull proved
-        no block can be hit, so nearest=inf / any-hit=0 by construction."""
-        return jnp.repeat(mask.any(axis=1), self.rt)
-
-    def _nearest(self, w_pad, scene, tris_packed, rays, exclude, mask, entry,
+    def _nearest(self, w1_pad, w_pad, scene, tris_packed, rays, exclude,
+                 block_lo, block_hi, ti, mask1, entry1, c1,
                  shared_origin=False):
-        wl = cull.compact_worklist(mask, w_pad, entry=entry)
+        """Two-level compaction + BSR nearest. Returns (Hits, c2).
+
+        Pallas output blocks of ray tiles absent from the work list are
+        never written (undefined memory), so results are masked by the
+        EXACT visited set (cull.visited_tiles) — unvisited means the cull
+        proved no block can be hit, so nearest=inf by construction."""
+        wl, c2 = cull.fine_worklist(ti, mask1, entry1, c1, block_lo,
+                                    block_hi, self.cull_group, w1_pad, w_pad)
         best_t, best_i = bsr_trace.bsr_nearest(
             rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
             wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
             interpret=self.interpret, shared_origin=shared_origin,
             exit_every=self.exit_every)
-        best_t = jnp.where(self._visited(mask), best_t, jnp.inf)
-        return intersect.Hits(t=best_t,
+        visited = jnp.repeat(cull.visited_tiles(wl, self.n_tiles), self.rt)
+        best_t = jnp.where(visited, best_t, jnp.inf)
+        hits = intersect.Hits(t=best_t,
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
                               valid=jnp.isfinite(best_t))
+        return hits, c2
 
     def _light_masks(self, prep, live_l, block_lo, block_hi):
-        """Per-light conservative cull masks for the shadow queries. Dead
+        """Per-light coarse cull masks for the shadow queries, plus the
+        stacked (L*nTiles) tile hulls the fine stage tests against. Dead
         rays (misses, and rays this light provably cannot colour —
         shade.light_gates) are masked out of the tile hulls
         (cull.tile_intervals_packed live=) so they never widen the work
         lists."""
-        smasks, sentries = [], []
-        for li in range(prep.q.shape[0]):
+        n_lights = prep.q.shape[0]
+        tis, smasks, sentries = [], [], []
+        for li in range(n_lights):
             ti = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
                                             live=live_l[li], use_tmax=True)
-            m, e = cull.block_mask_with_entry(ti, block_lo, block_hi)
+            m, e, _ = cull.coarse_mask(ti, block_lo, block_hi,
+                                       self.cull_group)
+            tis.append(ti)
             smasks.append(m)
             sentries.append(e)
-        nb = block_lo.shape[0]
-        smasks = (jnp.stack(smasks) if smasks
-                  else jnp.zeros((0, self.n_tiles, nb), bool))
-        sentries = (jnp.stack(sentries) if sentries
-                    else jnp.zeros((0, self.n_tiles, nb), jnp.float32))
-        return smasks, sentries
+        nsb = -(-block_lo.shape[0] // self.cull_group)
+        if not n_lights:
+            empty_ti = cull.TileIntervals(
+                *(jnp.zeros((0, 3), jnp.float32),) * 4,
+                t_hi=jnp.zeros((0,), jnp.float32))
+            return (empty_ti, jnp.zeros((0, self.n_tiles, nsb), bool),
+                    jnp.zeros((0, self.n_tiles, nsb), jnp.float32))
+        sti = cull.TileIntervals(*(jnp.concatenate(
+            [getattr(t, f) for t in tis]) for f in cull.TileIntervals._fields))
+        return sti, jnp.stack(smasks), jnp.stack(sentries)
 
-    def _stage_b_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
-                    shade_tbl, block_lo, block_hi, rays, mask, entry):
+    def _stage_b_fn(self, w1_pad: int, w_pad: int, scene: SceneArrays,
+                    tris_packed, tris_dirs, shade_tbl, block_lo, block_hi,
+                    rays, ti, mask1, entry1, c1):
         no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
         # Primary rays share the camera origin (rays rows 0..2 are a
-        # broadcast of cam.pos): fold it into the triangle rows per frame
-        # and run the cheaper shared-origin kernel.
-        tris_cam = bsr_trace.pack_tris_origin(tris_packed, rays[0:3, 0])
-        hits = self._nearest(w_pad, scene, tris_cam, rays, no_excl,
-                             mask, entry, shared_origin=True)
+        # broadcast of cam.pos): fold it into the per-triangle scalars each
+        # frame and run the MXU shared-origin kernel against the static
+        # direction matrix.
+        scal_cam = bsr_trace.fold_origin_scal(tris_packed, rays[0:3, 0])
+        hits, c2 = self._nearest(w1_pad, w_pad, scene,
+                                 (tris_dirs, scal_cam), rays, no_excl,
+                                 block_lo, block_hi, ti, mask1, entry1, c1,
+                                 shared_origin=True)
         prep = shade.prepare_packed(scene, rays, hits, self.cfg,
                                     table=shade_tbl)
         live_l = shade.light_gates(scene, rays[0:3, 0], prep, hits.valid)
-        smasks, sentries = self._light_masks(prep, live_l,
-                                             block_lo, block_hi)
-        return hits, prep, live_l, smasks, sentries, smasks.sum()
+        sti, smasks, sentries = self._light_masks(prep, live_l,
+                                                  block_lo, block_hi)
+        return hits, prep, live_l, sti, smasks, sentries, smasks.sum(), c2
 
     # -- stage C: shadow queries + shading -------------------------------
 
-    def _lit(self, w_pad_sh: int, tris_lights, prep, hits, live_l,
-             smasks, sentries):
+    def _lit(self, w1_pad_sh: int, w_pad_sh: int, tris_dirs, lights_scal,
+             block_lo, block_hi, prep, hits, live_l, sti, smasks, sentries,
+             sc1):
         """All lights' shadow queries in ONE bsr_any launch: the (light,
-        tile) pairs become the tile axis of a single work list (one
-        compaction sort, one kernel, one set of padding slots instead of
+        tile) pairs become the tile axis of a single two-level work list
+        (one compaction, one kernel, one set of padding slots instead of
         one each per light). Dead rays (per-light: misses + zero-potential-
         contribution, shade.light_gates) pre-seed the accumulator as 'hit'
-        so fully-occluded tiles early-exit on live rays alone."""
+        so fully-occluded tiles early-exit on live rays alone.
+        Returns (lit (L, n_pad) bool, sc2)."""
         n_lights = prep.q.shape[0]
         if n_lights == 0:
-            return jnp.zeros((0, self.n_pad), bool)
-        nb = smasks.shape[2]
-        n_tris = tris_lights.shape[0] // max(n_lights, 1)
+            return jnp.zeros((0, self.n_pad), bool), jnp.int32(0)
+        nb = block_lo.shape[0]
+        n_tris = lights_scal.shape[0] // max(n_lights, 1)
         mask = smasks.reshape(n_lights * self.n_tiles, -1)
         entry = sentries.reshape(n_lights * self.n_tiles, -1)
-        wl = cull.compact_worklist(mask, w_pad_sh, entry=entry)
+        wl, sc2 = cull.fine_worklist(sti, mask, entry, sc1, block_lo,
+                                     block_hi, self.cull_group, w1_pad_sh,
+                                     w_pad_sh)
         q = prep.q_rev.transpose(1, 0, 2).reshape(8, n_lights * self.n_pad)
         # Each light's rays share its origin; the per-light origin-folded
-        # triangle copies sit at block offset light*nb (column light*T).
+        # scalar rows sit at block offset light*nb (row light*T). The MXU
+        # direction matrix is origin-independent and shared by all lights
+        # (ablock_ids indexes it without the light offset).
         light_of = wl.tile_ids // self.n_tiles
         block_ids = light_of * nb + wl.block_ids
         excl = (hits.tri[None, :]
@@ -255,20 +302,26 @@ class CulledRenderer:
                 ).reshape(-1)
         dead = (~live_l).reshape(-1).astype(jnp.int32)
         hit = bsr_trace.bsr_any(
-            q, excl, tris_lights, wl.tile_ids, block_ids,
-            wl.entry, wl.count, dead, rt=self.rt, tb=self.tb,
+            q, excl, (tris_dirs, lights_scal), wl.tile_ids, block_ids,
+            wl.entry, wl.count, dead, ablock_ids=wl.block_ids,
+            rt=self.rt, tb=self.tb,
             w_pad=w_pad_sh, interpret=self.interpret, shared_origin=True,
             exit_every=self.exit_every)
         hit = hit.reshape(n_lights, self.n_pad)
-        visited = jnp.repeat(smasks.any(axis=2), self.rt, axis=1)
-        return jnp.where(visited, hit == 0, True)
+        visited = cull.visited_tiles(wl, n_lights * self.n_tiles)
+        visited = jnp.repeat(visited.reshape(n_lights, self.n_tiles),
+                             self.rt, axis=1)
+        return jnp.where(visited, hit == 0, True), sc2
 
-    def _stage_c_fn(self, w_pad_sh: int, scene: SceneArrays, tris_lights,
-                    cam: CameraArrays, hits, prep, live_l, smasks, sentries):
-        lit = self._lit(w_pad_sh, tris_lights, prep, hits, live_l,
-                        smasks, sentries)
+    def _stage_c_fn(self, w1_pad_sh: int, w_pad_sh: int, scene: SceneArrays,
+                    tris_dirs, lights_scal, block_lo, block_hi,
+                    cam: CameraArrays, hits, prep, live_l, sti, smasks,
+                    sentries, sc1):
+        lit, sc2 = self._lit(w1_pad_sh, w_pad_sh, tris_dirs, lights_scal,
+                             block_lo, block_hi, prep, hits, live_l, sti,
+                             smasks, sentries, sc1)
         colours = shade.shade_core_packed(scene, cam.pos, prep, hits, lit)
-        return self._assemble(colours)
+        return self._assemble(colours), sc2
 
     # -- multi-bounce stages ---------------------------------------------
     #
@@ -297,41 +350,45 @@ class CulledRenderer:
         # tiles but contributes nothing (throughput is zeroed).
         live = hits.valid & jnp.any(prep.ks > 0.0, axis=0)
         ti = cull.tile_intervals_packed(r_rays, self.rt, live=live)
-        mask, entry = cull.block_mask_with_entry(ti, self.block_lo,
-                                                 self.block_hi)
-        return r_rays, live, mask, entry, mask.sum()
+        mask1, entry1, c1 = cull.coarse_mask(ti, self.block_lo,
+                                             self.block_hi, self.cull_group)
+        return r_rays, live, ti, mask1, entry1, c1
 
-    def _stage_bounce_fn(self, w_pad: int, scene: SceneArrays, tris_packed,
-                         shade_tbl, block_lo, block_hi, rays, exclude,
-                         mask, entry, view):
+    def _stage_bounce_fn(self, w1_pad: int, w_pad: int, scene: SceneArrays,
+                         tris_packed, shade_tbl, block_lo, block_hi, rays,
+                         exclude, ti, mask1, entry1, c1, view):
         """Nearest + shadow masks for an arbitrary packed ray set; also
         emits the next bounce's reflection query. `view` is the viewer the
         shading stage will use (the camera, or the previous hit points) —
         needed here so the light gates match the shading exactly."""
-        hits = self._nearest(w_pad, scene, tris_packed, rays, exclude,
-                             mask, entry)
+        hits, c2 = self._nearest(w1_pad, w_pad, scene, tris_packed, rays,
+                                 exclude, block_lo, block_hi, ti, mask1,
+                                 entry1, c1)
         prep = shade.prepare_packed(scene, rays, hits, self.cfg,
                                     table=shade_tbl)
         live_l = shade.light_gates(scene, view, prep, hits.valid)
-        smasks, sentries = self._light_masks(prep, live_l,
-                                             block_lo, block_hi)
-        r_rays, r_live, r_mask, r_entry, r_count = self._reflection_query(
-            prep, hits, rays)
-        return (hits, prep, live_l, smasks, sentries, smasks.sum(),
-                r_rays, r_live, r_mask, r_entry, r_count)
+        sti, smasks, sentries = self._light_masks(prep, live_l,
+                                                  block_lo, block_hi)
+        r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1 = \
+            self._reflection_query(prep, hits, rays)
+        return (hits, prep, live_l, sti, smasks, sentries, smasks.sum(), c2,
+                r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1)
 
-    def _stage_shade_fn(self, w_pad_sh: int, scene: SceneArrays, tris_lights,
-                        view, hits, prep, live_l, smasks, sentries):
-        """Fused shadow query + phong for one bounce -> (3, C) local
-        radiance rows (not yet throughput-weighted)."""
-        lit = self._lit(w_pad_sh, tris_lights, prep, hits, live_l,
-                        smasks, sentries)
-        return shade.shade_core_packed(scene, view, prep, hits, lit)
+    def _stage_shade_fn(self, w1_pad_sh: int, w_pad_sh: int,
+                        scene: SceneArrays, tris_dirs, lights_scal,
+                        block_lo, block_hi, view, hits, prep, live_l, sti,
+                        smasks, sentries, sc1):
+        """Fused shadow query + phong for one bounce -> ((3, C) local
+        radiance rows (not yet throughput-weighted), sc2)."""
+        lit, sc2 = self._lit(w1_pad_sh, w_pad_sh, tris_dirs, lights_scal,
+                             block_lo, block_hi, prep, hits, live_l, sti,
+                             smasks, sentries, sc1)
+        return shade.shade_core_packed(scene, view, prep, hits, lit), sc2
 
     def render_bounced(self, camera, depth: int, block: bool = False):
         """Whitted multi-bounce render on the block-sparse path."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
-        rays, mask, entry, count = self._stage_a(
+        rays, ti, mask1, entry1, c1 = self._stage_a(
             cam, self._perm, self.block_lo, self.block_hi)
 
         def jit_for(cache, key, fn, *static):
@@ -349,21 +406,29 @@ class CulledRenderer:
         counts_used = []
 
         for b in range(depth + 1):
-            w_pad = _bucket(int(count))
-            sb = jit_for(self._stage_b_cache, ("bounce", w_pad),
-                         self._stage_bounce_fn, w_pad)
-            (hits, prep, live_l, smasks, sentries, scount,
-             r_rays, r_live, r_mask, r_entry, r_count) = sb(
+            w1_pad = _bucket(int(c1))
+            c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
+                                          mask1, entry1, c1)
+            w_pad = _bucket(int(c2))
+            sb = jit_for(self._stage_b_cache, ("bounce", w1_pad, w_pad),
+                         self._stage_bounce_fn, w1_pad, w_pad)
+            (hits, prep, live_l, sti, smasks, sentries, sc1, _,
+             r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1) = sb(
                 self.arrays, self.tris_packed, self.shade_tbl,
-                self.block_lo, self.block_hi, rays, exclude, mask, entry,
-                view)
-            w_pad_sh = _bucket(int(scount))
-            pads_used.append((w_pad, w_pad_sh))
-            counts_used.append((int(count), int(scount)))
-            sc = jit_for(self._stage_c_cache, ("shade", b > 0, w_pad_sh),
-                         self._stage_shade_fn, w_pad_sh)
-            local = sc(self.arrays, self.tris_lights, view, hits, prep,
-                       live_l, smasks, sentries)
+                self.block_lo, self.block_hi, rays, exclude, ti, mask1,
+                entry1, c1, view)
+            w1_pad_sh = _bucket(int(sc1))
+            sc2 = self._count_fine(w1_pad_sh)(self.block_lo, self.block_hi,
+                                              sti, smasks, sentries, sc1)
+            w_pad_sh = _bucket(int(sc2))
+            pads_used.append((w1_pad, w_pad, w1_pad_sh, w_pad_sh))
+            counts_used.append((int(c1), int(c2), int(sc1), int(sc2)))
+            sc = jit_for(self._stage_c_cache,
+                         ("shade", b > 0, w1_pad_sh, w_pad_sh),
+                         self._stage_shade_fn, w1_pad_sh, w_pad_sh)
+            local, _ = sc(self.arrays, self.tris_dirs, self.lights_scal,
+                          self.block_lo, self.block_hi, view, hits, prep,
+                          live_l, sti, smasks, sentries, sc1)
             colour = colour + throughput * local
             if b == depth:
                 break
@@ -372,7 +437,7 @@ class CulledRenderer:
             view = prep.x
             rays = r_rays
             exclude = hits.tri
-            mask, entry, count = r_mask, r_entry, int(r_count)
+            ti, mask1, entry1, c1 = r_ti, r_mask1, r_entry1, int(r_c1)
 
         colour = jnp.clip(colour, 0.0, 1.0)
         img = self._assemble(colour)
@@ -386,32 +451,35 @@ class CulledRenderer:
         return img
 
     def _full_bounced_fn(self, pads: tuple, scene: SceneArrays, tris_packed,
-                         tris_lights, shade_tbl, block_lo, block_hi, perm,
-                         cam: CameraArrays):
+                         tris_dirs, lights_scal, shade_tbl, block_lo,
+                         block_hi, perm, cam: CameraArrays):
         """Fused multi-bounce pipeline with fixed buckets (no host syncs).
 
-        Also returns the true per-bounce work counts as a (B, 2) int32
-        array [(primary cells, shadow cells) per bounce] so callers —
-        including the sharded band renderer — can verify the frozen buckets
-        still hold and refreeze on overflow instead of silently dropping
-        candidate blocks.
+        Also returns the true per-bounce work counts as a (B, 4) int32
+        array [(coarse/fine primary, coarse/fine shadow cells) per bounce]
+        so callers — including the sharded band renderer — can verify the
+        frozen buckets still hold and refreeze on overflow instead of
+        silently dropping candidate blocks.
         """
-        rays, mask, entry, count = self._stage_a_fn(cam, perm, block_lo,
-                                                    block_hi)
+        rays, ti, mask1, entry1, c1 = self._stage_a_fn(cam, perm, block_lo,
+                                                       block_hi)
         colour = jnp.zeros((3, self.n_pad), jnp.float32)
         throughput = jnp.ones((3, self.n_pad), jnp.float32)
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
         counts = []
-        for b, (w_pad, w_pad_sh) in enumerate(pads):
-            (hits, prep, live_l, smasks, sentries, scount,
-             r_rays, _, r_mask, r_entry, r_count) = self._stage_bounce_fn(
-                w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
-                rays, exclude, mask, entry, view)
-            local = self._stage_shade_fn(w_pad_sh, scene, tris_lights, view,
-                                         hits, prep, live_l, smasks, sentries)
+        for b, (w1_pad, w_pad, w1_pad_sh, w_pad_sh) in enumerate(pads):
+            (hits, prep, live_l, sti, smasks, sentries, sc1, c2,
+             r_rays, _, r_ti, r_mask1, r_entry1, r_c1) = \
+                self._stage_bounce_fn(
+                    w1_pad, w_pad, scene, tris_packed, shade_tbl, block_lo,
+                    block_hi, rays, exclude, ti, mask1, entry1, c1, view)
+            local, sc2 = self._stage_shade_fn(
+                w1_pad_sh, w_pad_sh, scene, tris_dirs, lights_scal,
+                block_lo, block_hi, view, hits, prep, live_l, sti, smasks,
+                sentries, sc1)
             colour = colour + throughput * local
-            counts.append(jnp.stack([count, scount]).astype(jnp.int32))
+            counts.append(jnp.stack([c1, c2, sc1, sc2]).astype(jnp.int32))
             if b + 1 == len(pads):
                 break
             throughput = jnp.where(hits.valid[None, :],
@@ -419,7 +487,7 @@ class CulledRenderer:
             view = prep.x
             rays = r_rays
             exclude = hits.tri
-            mask, entry, count = r_mask, r_entry, r_count
+            ti, mask1, entry1, c1 = r_ti, r_mask1, r_entry1, r_c1
         colour = jnp.clip(colour, 0.0, 1.0)
         return self._assemble(colour), jnp.stack(counts)
 
@@ -433,8 +501,8 @@ class CulledRenderer:
         state = {}
 
         def freeze_from(counts):
-            state["pads"] = tuple((_bucket(c, margin), _bucket(sc, margin))
-                                  for (c, sc) in counts)
+            state["pads"] = tuple(tuple(_bucket(x, margin) for x in quad)
+                                  for quad in counts)
             state["fused"] = jax.jit(functools.partial(
                 self._full_bounced_fn, state["pads"]))
 
@@ -442,13 +510,13 @@ class CulledRenderer:
 
         def render(cam, verify: bool = False):
             c = cam.to_arrays() if isinstance(cam, Camera) else cam
-            args = (self.arrays, self.tris_packed, self.tris_lights,
-                    self.shade_tbl, self.block_lo, self.block_hi,
-                    self._perm, c)
+            args = (self.arrays, self.tris_packed, self.tris_dirs,
+                    self.lights_scal, self.shade_tbl, self.block_lo,
+                    self.block_hi, self._perm, c)
             img, counts = state["fused"](*args)
             if verify:
                 got = np.asarray(counts)
-                if any(g[0] > p[0] or g[1] > p[1]
+                if any(any(g[k] > p[k] for k in range(4))
                        for g, p in zip(got, state["pads"])):
                     freeze_from([tuple(g) for g in got])
                     img, _ = state["fused"](*args)
@@ -462,26 +530,35 @@ class CulledRenderer:
     def render(self, camera, block: bool = False):
         """Render a frame; returns a device array (H, W, 3) float32."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
-        rays, mask, entry, count = self._stage_a(
+        rays, ti, mask1, entry1, c1 = self._stage_a(
             cam, self._perm, self.block_lo, self.block_hi)
-        w_pad = _bucket(int(count))
+        w1_pad = _bucket(int(c1))
+        c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
+                                      mask1, entry1, c1)
+        w_pad = _bucket(int(c2))
 
-        stage_b = self._stage_b_cache.get(w_pad)
+        key = (w1_pad, w_pad)
+        stage_b = self._stage_b_cache.get(key)
         if stage_b is None:
-            stage_b = jax.jit(functools.partial(self._stage_b_fn, w_pad))
-            self._stage_b_cache[w_pad] = stage_b
-        hits, prep, live_l, smasks, sentries, scount = stage_b(
-            self.arrays, self.tris_packed, self.shade_tbl,
-            self.block_lo, self.block_hi, rays, mask, entry)
+            stage_b = jax.jit(functools.partial(self._stage_b_fn, *key))
+            self._stage_b_cache[key] = stage_b
+        hits, prep, live_l, sti, smasks, sentries, sc1, _ = stage_b(
+            self.arrays, self.tris_packed, self.tris_dirs, self.shade_tbl,
+            self.block_lo, self.block_hi, rays, ti, mask1, entry1, c1)
 
-        w_pad_sh = _bucket(int(scount))
-        stage_c = self._stage_c_cache.get(w_pad_sh)
+        w1_pad_sh = _bucket(int(sc1))
+        sc2 = self._count_fine(w1_pad_sh)(self.block_lo, self.block_hi,
+                                          sti, smasks, sentries, sc1)
+        w_pad_sh = _bucket(int(sc2))
+        ckey = (w1_pad_sh, w_pad_sh)
+        stage_c = self._stage_c_cache.get(ckey)
         if stage_c is None:
-            stage_c = jax.jit(functools.partial(self._stage_c_fn, w_pad_sh))
-            self._stage_c_cache[w_pad_sh] = stage_c
-        img = stage_c(self.arrays, self.tris_lights, cam, hits, prep,
-                      live_l, smasks, sentries)
-        self._last_counts = (int(count), int(scount))
+            stage_c = jax.jit(functools.partial(self._stage_c_fn, *ckey))
+            self._stage_c_cache[ckey] = stage_c
+        img, _ = stage_c(self.arrays, self.tris_dirs, self.lights_scal,
+                         self.block_lo, self.block_hi, cam, hits, prep,
+                         live_l, sti, smasks, sentries, sc1)
+        self._last_counts = (int(c1), int(c2), int(sc1), int(sc2))
         if block:
             jax.block_until_ready(img)
         return img
@@ -496,17 +573,21 @@ class CulledRenderer:
     # should be used periodically / during warmup to confirm margins hold;
     # on overflow freeze() is simply called again with the new counts.
 
-    def _full_fn(self, w_pad: int, w_pad_sh: int, scene: SceneArrays,
-                 tris_packed, tris_lights, shade_tbl, block_lo, block_hi,
-                 perm, cam: CameraArrays):
-        rays, mask, entry, count = self._stage_a_fn(cam, perm, block_lo,
-                                                    block_hi)
-        hits, prep, live_l, smasks, sentries, scount = self._stage_b_fn(
-            w_pad, scene, tris_packed, shade_tbl, block_lo, block_hi,
-            rays, mask, entry)
-        img = self._stage_c_fn(w_pad_sh, scene, tris_lights, cam, hits,
-                               prep, live_l, smasks, sentries)
-        return img, count, scount
+    def _full_fn(self, w1_pad: int, w_pad: int, w1_pad_sh: int,
+                 w_pad_sh: int, scene: SceneArrays,
+                 tris_packed, tris_dirs, lights_scal, shade_tbl, block_lo,
+                 block_hi, perm, cam: CameraArrays):
+        rays, ti, mask1, entry1, c1 = self._stage_a_fn(cam, perm, block_lo,
+                                                       block_hi)
+        hits, prep, live_l, sti, smasks, sentries, sc1, c2 = \
+            self._stage_b_fn(
+                w1_pad, w_pad, scene, tris_packed, tris_dirs, shade_tbl,
+                block_lo, block_hi, rays, ti, mask1, entry1, c1)
+        img, sc2 = self._stage_c_fn(
+            w1_pad_sh, w_pad_sh, scene, tris_dirs, lights_scal, block_lo,
+            block_hi, cam, hits, prep, live_l, sti, smasks, sentries, sc1)
+        counts = jnp.stack([c1, c2, sc1, sc2]).astype(jnp.int32)
+        return img, counts
 
     def freeze(self, camera=None, margin: float = 1.4) -> None:
         """Fix work-list buckets from the last sync render (running one if
@@ -515,11 +596,9 @@ class CulledRenderer:
             if camera is None:
                 raise ValueError("freeze() needs a camera for the sizing render")
             self.render(camera, block=True)
-        count, scount = self._last_counts
-        w_pad = _bucket(count, margin)
-        w_pad_sh = _bucket(scount, margin)
-        self._fused = jax.jit(functools.partial(self._full_fn, w_pad, w_pad_sh))
-        self._frozen_pads = (w_pad, w_pad_sh)
+        pads = tuple(_bucket(c, margin) for c in self._last_counts)
+        self._fused = jax.jit(functools.partial(self._full_fn, *pads))
+        self._frozen_pads = pads
 
     def render_fast(self, camera, verify: bool = False):
         """One fused dispatch, no host syncs. Returns a device array; with
@@ -528,17 +607,16 @@ class CulledRenderer:
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         if self._fused is None:
             self.freeze(camera)
-        img, count, scount = self._fused(
-            self.arrays, self.tris_packed, self.tris_lights, self.shade_tbl,
-            self.block_lo, self.block_hi, self._perm, cam)
+        img, counts = self._fused(
+            self.arrays, self.tris_packed, self.tris_dirs, self.lights_scal,
+            self.shade_tbl, self.block_lo, self.block_hi, self._perm, cam)
         if verify:
-            w_pad, w_pad_sh = self._frozen_pads
-            c, sc = int(count), int(scount)
-            if c > w_pad or sc > w_pad_sh:
-                self._last_counts = (c, sc)
+            got = tuple(int(c) for c in np.asarray(counts))
+            if any(g > p for g, p in zip(got, self._frozen_pads)):
+                self._last_counts = got
                 self.freeze(camera)
-                img, _, _ = self._fused(
-                    self.arrays, self.tris_packed, self.tris_lights,
-                    self.shade_tbl, self.block_lo, self.block_hi,
-                    self._perm, cam)
+                img, _ = self._fused(
+                    self.arrays, self.tris_packed, self.tris_dirs,
+                    self.lights_scal, self.shade_tbl, self.block_lo,
+                    self.block_hi, self._perm, cam)
         return img

@@ -15,10 +15,11 @@ the camera a per-frame input; moving an object needed a full host re-bake
   - The BVH survives because bake_bvh_grouped Morton-orders each object
     separately: a leaf block belongs to exactly one object, so its AABB
     shifts exactly by that object's delta.
-  - Lights are folded per frame: the per-light origin-folded triangle packs
-    the shadow kernels consume (bsr_trace.pack_tris_origin) were static at
+  - Lights are folded per frame: the per-light scalar triples the MXU
+    shadow kernels consume (bsr_trace.fold_origin_scal) were static at
     construction in CulledRenderer; here they are recomputed from the
-    diffed rows inside the same jit (a small dense op over (L*T, 16)).
+    diffed rows inside the same jit (a small dense op over (L*T, 8)). The
+    MXU direction matrix is translation-invariant and never refolds.
 
 Everything reuses CulledRenderer's fused pipeline unchanged — its stages
 already take every array as a jit argument, so the diff transform composes
@@ -80,18 +81,24 @@ class DynamicCulledRenderer(CulledRenderer):
                                  light_col=diff.light_col)
         n_lights = int(diff.light_pos.shape[0])
         if n_lights:
-            tris_lights_d = jnp.concatenate(
-                [bsr_trace.pack_tris_origin(tris16_d, diff.light_pos[li])
+            lights_scal_d = jnp.concatenate(
+                [bsr_trace.fold_origin_scal(tris16_d, diff.light_pos[li])
                  for li in range(n_lights)], axis=0)
         else:
-            tris_lights_d = tris16_d
-        return scene_d, tris16_d, tris_lights_d, table32_d, blo_d, bhi_d
+            lights_scal_d = jnp.zeros((0, 8), jnp.float32)
+        return scene_d, tris16_d, lights_scal_d, table32_d, blo_d, bhi_d
 
-    def _dyn_fn(self, w_pad, w_pad_sh, scene, tris16, table32, blo, bhi,
-                perm, cam, diff):
-        args = self._apply_diff(scene, tris16, table32, blo, bhi, diff)
-        return self._full_fn(w_pad, w_pad_sh, args[0], args[1], args[2],
-                             args[3], args[4], args[5], perm, cam)
+    def _dyn_fn(self, pads, scene, tris16, tris_dirs, table32,
+                blo, bhi, perm, cam, diff):
+        # tris_dirs (the MXU direction matrix) is translation-invariant:
+        # the diff only refolds the scalar triples and the block AABBs
+        # (and the superblock unions recompute from the shifted block
+        # AABBs inside the cull, so the two-level hierarchy stays exact).
+        (scene_d, tris16_d, lights_scal_d, table32_d, blo_d,
+         bhi_d) = self._apply_diff(scene, tris16, table32, blo, bhi, diff)
+        return self._full_fn(*pads, scene_d, tris16_d, tris_dirs,
+                             lights_scal_d, table32_d, blo_d, bhi_d, perm,
+                             cam)
 
     def render_dynamic(self, camera, diff: SceneDiff, verify: bool = False):
         """One fused dispatch: diff fold + cull + BSR + shadows + shading.
@@ -103,20 +110,20 @@ class DynamicCulledRenderer(CulledRenderer):
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         if self._fused is None:
             self.freeze(camera)
-        w_pad, w_pad_sh = self._frozen_pads
-        key = (w_pad, w_pad_sh)
-        fn = self._dyn_cache.get(key)
+        pads = self._frozen_pads
+        fn = self._dyn_cache.get(pads)
         if fn is None:
-            fn = jax.jit(functools.partial(self._dyn_fn, w_pad, w_pad_sh))
-            self._dyn_cache[key] = fn
+            fn = jax.jit(functools.partial(self._dyn_fn, pads))
+            self._dyn_cache[pads] = fn
         diff = SceneDiff(*(jnp.asarray(a, jnp.float32) for a in diff))
-        img, count, scount = fn(self.arrays, self.tris_packed,
-                                self.shade_tbl, self.block_lo, self.block_hi,
-                                self._perm, cam, diff)
+        img, counts = fn(self.arrays, self.tris_packed,
+                         self.tris_dirs, self.shade_tbl,
+                         self.block_lo, self.block_hi,
+                         self._perm, cam, diff)
         if verify:
-            c, sc = int(count), int(scount)
-            if c > w_pad or sc > w_pad_sh:
-                self._last_counts = (c, sc)
+            got = tuple(int(c) for c in np.asarray(counts))
+            if any(g > p for g, p in zip(got, pads)):
+                self._last_counts = got
                 self.freeze(camera)
                 return self.render_dynamic(camera, diff)
         return img

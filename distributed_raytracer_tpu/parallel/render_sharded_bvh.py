@@ -88,7 +88,7 @@ def _finish(mesh, n, h_band, band, shard_fn, height, refreeze):
     def build(fn):
         sharded = shard_map(
             fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(AXIS), P(AXIS)),
             # Pallas out_shapes carry no varying-mesh-axes annotation; the
             # kernels touch no collectives, so skip the vma typecheck.
@@ -99,8 +99,8 @@ def _finish(mesh, n, h_band, band, shard_fn, height, refreeze):
     state["jit"] = build(shard_fn)
 
     def device_fn(cam: CameraArrays):
-        return state["jit"](band.arrays, band.tris_packed,
-                            band.tris_lights, band.shade_tbl,
+        return state["jit"](band.arrays, band.tris_packed, band.tris_dirs,
+                            band.lights_scal, band.shade_tbl,
                             band.block_lo, band.block_hi, band._perm, cam)
 
     def render(cam, verify: bool = False) -> np.ndarray:
@@ -139,36 +139,35 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
 
     def measure(b):
         b.render(camera, block=True)
-        return b._last_counts
+        return b._last_counts               # (c1, c2, sc1, sc2)
 
     counts = size_bands(measure)
-    buckets = {"w": _bucket(max(c for c, _ in counts), margin),
-               "wsh": _bucket(max(sc for _, sc in counts), margin)}
+    buckets = {"pads": tuple(_bucket(max(c[k] for c in counts), margin)
+                             for k in range(4))}
 
-    def make_fn(w_pad, w_pad_sh):
-        def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
-                     block_lo, block_hi, perm, cam: CameraArrays):
+    def make_fn(pads):
+        def shard_fn(scene_arrays, tris_packed, tris_dirs, lights_scal,
+                     shade_tbl, block_lo, block_hi, perm, cam: CameraArrays):
             me = jax.lax.axis_index(AXIS)
             my_perm = _band_perm(perm, me, h_band, width, height)
-            img, count, scount = band._full_fn(
-                w_pad, w_pad_sh, scene_arrays, tris_packed, tris_lights,
-                shade_tbl, block_lo, block_hi, my_perm, cam)
-            counts = jnp.stack([count, scount]).astype(jnp.int32)[None]
-            return img, counts                  # (h_band, W, 3), (1, 2)
+            img, counts = band._full_fn(
+                *pads, scene_arrays, tris_packed, tris_dirs,
+                lights_scal, shade_tbl, block_lo, block_hi, my_perm, cam)
+            return img, counts[None]            # (h_band, W, 3), (1, 4)
         return shard_fn
 
-    def refreeze(got):
-        w = int(got[:, 0].max())
-        wsh = int(got[:, 1].max())
-        if w <= buckets["w"] and wsh <= buckets["wsh"]:
+    def refreeze(got):                          # got: (n, 4)
+        worst = got.max(axis=0)
+        if all(int(worst[k]) <= buckets["pads"][k] for k in range(4)):
             return None
-        buckets["w"] = max(buckets["w"], _bucket(w, margin))
-        buckets["wsh"] = max(buckets["wsh"], _bucket(wsh, margin))
-        return make_fn(buckets["w"], buckets["wsh"])
+        buckets["pads"] = tuple(
+            max(p, _bucket(int(w), margin))
+            for p, w in zip(buckets["pads"], worst))
+        return make_fn(buckets["pads"])
 
     render = _finish(mesh, n, h_band, band,
-                     make_fn(buckets["w"], buckets["wsh"]), height, refreeze)
-    render.buckets = lambda: (buckets["w"], buckets["wsh"])
+                     make_fn(buckets["pads"]), height, refreeze)
+    render.buckets = lambda: buckets["pads"]
     return render
 
 
@@ -199,30 +198,30 @@ def make_sharded_bounced_renderer(scene: Scene, width: int, height: int,
 
     per_band = size_bands(measure)
     raw = tuple(tuple(max(band_counts[k][j] for band_counts in per_band)
-                      for j in range(2)) for k in range(depth + 1))
-    state = {"pads": tuple((_bucket(c, margin), _bucket(sc, margin))
-                           for c, sc in raw)}
+                      for j in range(4)) for k in range(depth + 1))
+    state = {"pads": tuple(tuple(_bucket(x, margin) for x in quad)
+                           for quad in raw)}
 
     def make_fn(pads):
-        def shard_fn(scene_arrays, tris_packed, tris_lights, shade_tbl,
-                     block_lo, block_hi, perm, cam: CameraArrays):
+        def shard_fn(scene_arrays, tris_packed, tris_dirs, lights_scal,
+                     shade_tbl, block_lo, block_hi, perm, cam: CameraArrays):
             me = jax.lax.axis_index(AXIS)
             my_perm = _band_perm(perm, me, h_band, width, height)
             img, counts = band._full_bounced_fn(
-                pads, scene_arrays, tris_packed, tris_lights, shade_tbl,
-                block_lo, block_hi, my_perm, cam)
-            return img, counts[None]            # (h_band, W, 3), (1, B, 2)
+                pads, scene_arrays, tris_packed, tris_dirs, lights_scal,
+                shade_tbl, block_lo, block_hi, my_perm, cam)
+            return img, counts[None]            # (h_band, W, 3), (1, B, 4)
         return shard_fn
 
-    def refreeze(got):                          # got: (n, B, 2)
-        worst = got.max(axis=0)                 # (B, 2)
-        if all(int(worst[k, 0]) <= state["pads"][k][0]
-               and int(worst[k, 1]) <= state["pads"][k][1]
-               for k in range(depth + 1)):
+    def refreeze(got):                          # got: (n, B, 4)
+        worst = got.max(axis=0)                 # (B, 4)
+        if all(int(worst[k, j]) <= state["pads"][k][j]
+               for k in range(depth + 1) for j in range(4)):
             return None
         state["pads"] = tuple(
-            (max(p, _bucket(int(w), margin)), max(ps, _bucket(int(ws), margin)))
-            for (p, ps), (w, ws) in zip(state["pads"], worst))
+            tuple(max(p, _bucket(int(w), margin))
+                  for p, w in zip(quad, worst_quad))
+            for quad, worst_quad in zip(state["pads"], worst))
         return make_fn(state["pads"])
 
     render = _finish(mesh, n, h_band, band, make_fn(state["pads"]), height,

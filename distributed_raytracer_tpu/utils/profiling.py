@@ -17,12 +17,14 @@ code is slow):
     den/u/v direction dots 15, t = num/den ≈ 4 (reciprocal sequence),
     u/v fma 4, seven compares + three ands ≈ 10, masked min + argmin
     fold ≈ 8, select/write ≈ 5. (The per-ray-origin variant adds ~12.)
-  - SOL := 3.85e12 / 46 ≈ 84 Gpairs/s/core. Kernels that offload the
-    direction dots to the MXU (which runs in parallel with the VPU)
-    raise the bound to 3.85e12 / 31 ≈ 124 Gpairs/s; sol_fraction here
-    conservatively uses the all-VPU figure.
+  - SOL := 3.85e12 / 46 ≈ 84 Gpairs/s/core for the all-VPU kernels.
+    The production shared-origin kernels (round 2) offload the three
+    direction dots to the MXU, which runs in parallel with the VPU: the
+    VPU's ~31 remaining ops/pair set the bound, 3.85e12 / 31 ≈ 124
+    Gpairs/s (the MXU side is nowhere near its own ceiling at K=8).
+    sol_fraction uses the MXU-aware figure — the harder target.
 For context: the round-1 dense-sweep microbenchmark measured ~11 Gpairs/s
-(13% of this SOL) — the gap is the optimization budget, not noise.
+(13% of the all-VPU SOL) — the gap is the optimization budget, not noise.
 """
 
 from __future__ import annotations
@@ -34,8 +36,10 @@ from typing import Optional
 
 PAIR_FLOPS = 47.0
 VPU_OPS_PER_SEC = 8 * 128 * 4 * 0.94e9   # one v5e TensorCore, f32
-PAIR_VPU_OPS = 46.0                      # shared-origin pair evaluation
-SOL_GPAIRS = VPU_OPS_PER_SEC / PAIR_VPU_OPS / 1e9   # ≈ 84 Gpairs/s
+PAIR_VPU_OPS = 46.0                      # all-VPU shared-origin pair eval
+PAIR_VPU_OPS_MXU = 31.0                  # with the 3 direction dots on MXU
+SOL_GPAIRS_ALL_VPU = VPU_OPS_PER_SEC / PAIR_VPU_OPS / 1e9      # ≈ 84
+SOL_GPAIRS = VPU_OPS_PER_SEC / PAIR_VPU_OPS_MXU / 1e9          # ≈ 124
 # Round-1 measured dense-sweep throughput, kept for context only.
 MEASURED_DENSE_GPAIRS_R1 = 11.0
 
@@ -104,7 +108,7 @@ def measure_culled(renderer, camera, frames: int = 10) -> FrameWork:
         out = renderer.render_fast(camera)
     jax.block_until_ready(out)
     seconds = (time.perf_counter() - t0) / frames
-    count, scount = renderer._last_counts
+    _, count, _, scount = renderer._last_counts   # fine-level cells
     return FrameWork(
         primary_cells=int(count),
         shadow_cells=int(scount),

@@ -118,8 +118,8 @@ def test_sharded_culled_overflow_refreeze(tetra_scene):
     # Counts recorded for the verified frame fit the (possibly re-sized)
     # buckets, and the image matches the dense path exactly.
     got = render.last_counts
-    w_pad, w_pad_sh = render.buckets()
-    assert int(got[:, 0].max()) <= w_pad and int(got[:, 1].max()) <= w_pad_sh
+    pads = render.buckets()                     # (w1, w, w1_sh, w_sh)
+    assert all(int(got[:, k].max()) <= pads[k] for k in range(4))
     from distributed_raytracer_tpu.ops.render import render_frame
     dense = np.asarray(render_frame(render.band.arrays_host,
                                     close.to_arrays(), 40, 32))
