@@ -143,8 +143,13 @@ def block_mask_with_entry(ti: TileIntervals, block_lo: jnp.ndarray,
 
     enter = jnp.maximum(t_lo_axis.max(axis=2), 0.0)
     exit_ = jnp.minimum(t_hi_axis.min(axis=2), ti.t_hi[:, None])
-    # Degenerate empty slab (a > b cannot happen: lo <= hi and o_lo <= o_hi).
-    return enter <= exit_, enter
+    # Inverted (+inf, -inf) padding boxes do NOT fail the quotient math
+    # (a=+inf, b=-inf spans every axis interval to (-inf, +inf)), so they
+    # must be rejected explicitly — a passing phantom superblock member
+    # expands to out-of-range block ids and out-of-bounds DMA in the
+    # kernels (the round-2 config-5 TPU fault).
+    valid = (block_lo <= block_hi).all(axis=1)[None, :]
+    return (enter <= exit_) & valid, enter
 
 
 def block_mask(ti: TileIntervals, block_lo: jnp.ndarray,
@@ -230,7 +235,11 @@ def _mask_rows(o_lo, o_hi, d_lo, d_hi, t_hi, blo, bhi):
     t_hi_axis = jnp.where(straddle, INF, t_hi_axis)
     enter = jnp.maximum(t_lo_axis.max(axis=2), 0.0)
     exit_ = jnp.minimum(t_hi_axis.min(axis=2), t_hi[:, None])
-    return enter <= exit_, enter
+    # Same inverted-padding rejection as block_mask_with_entry: the last
+    # superblock's nonexistent members carry (+inf, -inf) boxes that the
+    # quotient math alone would PASS.
+    valid = (blo <= bhi).all(axis=2)
+    return (enter <= exit_) & valid, enter
 
 
 class WorkList(NamedTuple):
@@ -304,8 +313,14 @@ def fine_worklist(ti: TileIntervals, mask1: jnp.ndarray, entry1: jnp.ndarray,
     s = jnp.arange(w_pad, dtype=jnp.int32)
     cell = jnp.where(s < count2, order, last)
     item, j = cell // group, cell % group
+    # Defensive clamp: an out-of-range block id means out-of-bounds DMA in
+    # the kernels (a hard TPU fault, not an exception). The mask fix above
+    # keeps phantom members out of `count2`; the clamp guarantees that even
+    # a future masking bug degrades to redundant work on a real block
+    # (idempotent for both nearest and any-hit folds), never a fault.
     wl = WorkList(tile_ids=wl1.tile_ids[item],
-                  block_ids=wl1.block_ids[item] * group + j,
+                  block_ids=jnp.minimum(wl1.block_ids[item] * group + j,
+                                        nb - 1),
                   entry=entry2.reshape(-1)[cell],
                   count=count2)
     return wl, count2

@@ -78,13 +78,24 @@ class CulledRenderer:
                  cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
                  interpret: bool = False, prebaked=None,
-                 exit_every: int = 8, cull_group: int = 16):
+                 exit_every: int = 0, cull_group: int = 16,
+                 use_mxu: bool = False):
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
         # Amortized front-to-back early exit (bsr_trace kernels): refresh
         # the per-tile SMEM bound every `exit_every` work items; 0 = off.
+        # Default 0: measured as a small loss on every bench config
+        # (round-2 verdict weak #6) — groundwork kept behind the flag.
         self.exit_every = exit_every
+        # Kernel family for the shared-origin launches: False = all-VPU
+        # pack_tris_origin columns (the round-1 configuration), True = MXU
+        # direction-matrix offload. The MXU variant measured SLOWER on real
+        # v5e (config 1: 4.2 -> 6.3 ms) despite the higher theoretical
+        # roofline — the (3tb, 8) @ (8, RT) K=8 matmul underutilizes the
+        # 128x128 systolic array and its operand staging stalls the VPU —
+        # so VPU is the default; the MXU path stays available for A/B.
+        self.use_mxu = use_mxu
         # Two-level cull: `cull_group` consecutive Morton blocks form one
         # superblock for the coarse mask (cull.coarse_mask/fine_worklist).
         # At 49K blocks (config 5) the flat mask + its argsort dominated
@@ -114,21 +125,37 @@ class CulledRenderer:
         self.shade_tbl = jax.device_put(table_np)
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
-        # MXU direction matrix A = [n; k_u; k_v] per block (static — it is
-        # translation-invariant) + per-light origin-folded scalar triples
-        # for the REVERSED shadow kernels: (L*T, 8), light l's rows at
-        # [l*T, (l+1)*T). Lights are static per bake (the dynamic renderer
-        # refolds the scalars per frame instead; A never changes).
-        self.tris_dirs = jax.device_put(
-            bsr_trace.pack_dirs(tris16_np, block_size))
         n_lights = int(arrays.light_pos.shape[0])
-        if n_lights:
-            self.lights_scal = jax.device_put(jnp.concatenate(
-                [bsr_trace.fold_origin_scal(self.tris_packed,
-                                            self.arrays.light_pos[li])
-                 for li in range(n_lights)], axis=0))
+        if self.use_mxu:
+            # MXU direction matrix A = [n; k_u; k_v] per block (static — it
+            # is translation-invariant) + per-light origin-folded scalar
+            # triples for the REVERSED shadow kernels: (L*T, 8), light l's
+            # rows at [l*T, (l+1)*T). Lights are static per bake (the
+            # dynamic renderer refolds the scalars per frame; A never
+            # changes).
+            self.tris_dirs = jax.device_put(
+                bsr_trace.pack_dirs(tris16_np, block_size))
+            if n_lights:
+                self.lights_scal = jax.device_put(jnp.concatenate(
+                    [bsr_trace.fold_origin_scal(self.tris_packed,
+                                                self.arrays.light_pos[li])
+                     for li in range(n_lights)], axis=0))
+            else:
+                self.lights_scal = jnp.zeros((0, 8), jnp.float32)
         else:
-            self.lights_scal = jnp.zeros((0, 8), jnp.float32)
+            # All-VPU shared-origin columns: per-light origin-folded
+            # (T, 16) packs stacked to (L*T, 16) — block_ids with the
+            # light*nb offset index straight into light l's rows. Shipped
+            # in tris_dirs/lights_scal's argument slots so every stage
+            # signature is mode-independent.
+            self.tris_dirs = jnp.zeros((0, 8), jnp.float32)
+            if n_lights:
+                self.lights_scal = jax.device_put(jnp.concatenate(
+                    [bsr_trace.pack_tris_origin(self.tris_packed,
+                                                self.arrays.light_pos[li])
+                     for li in range(n_lights)], axis=0))
+            else:
+                self.lights_scal = jnp.zeros((0, 16), jnp.float32)
 
         # 2D screen tiles (32 x rt/32 pixels): see module docstring.
         self.tile_w = 32
@@ -253,12 +280,16 @@ class CulledRenderer:
                     rays, ti, mask1, entry1, c1):
         no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
         # Primary rays share the camera origin (rays rows 0..2 are a
-        # broadcast of cam.pos): fold it into the per-triangle scalars each
-        # frame and run the MXU shared-origin kernel against the static
-        # direction matrix.
-        scal_cam = bsr_trace.fold_origin_scal(tris_packed, rays[0:3, 0])
+        # broadcast of cam.pos): fold it into the per-triangle columns each
+        # frame and run the shared-origin kernel (VPU columns, or the MXU
+        # direction matrix when use_mxu).
+        if self.use_mxu:
+            scal_cam = bsr_trace.fold_origin_scal(tris_packed, rays[0:3, 0])
+            tris_cam = (tris_dirs, scal_cam)
+        else:
+            tris_cam = bsr_trace.pack_tris_origin(tris_packed, rays[0:3, 0])
         hits, c2 = self._nearest(w1_pad, w_pad, scene,
-                                 (tris_dirs, scal_cam), rays, no_excl,
+                                 tris_cam, rays, no_excl,
                                  block_lo, block_hi, ti, mask1, entry1, c1,
                                  shared_origin=True)
         prep = shade.prepare_packed(scene, rays, hits, self.cfg,
@@ -284,7 +315,7 @@ class CulledRenderer:
         if n_lights == 0:
             return jnp.zeros((0, self.n_pad), bool), jnp.int32(0)
         nb = block_lo.shape[0]
-        n_tris = lights_scal.shape[0] // max(n_lights, 1)
+        n_tris = nb * self.tb
         mask = smasks.reshape(n_lights * self.n_tiles, -1)
         entry = sentries.reshape(n_lights * self.n_tiles, -1)
         wl, sc2 = cull.fine_worklist(sti, mask, entry, sc1, block_lo,
@@ -301,9 +332,13 @@ class CulledRenderer:
                 + (jnp.arange(n_lights, dtype=jnp.int32) * n_tris)[:, None]
                 ).reshape(-1)
         dead = (~live_l).reshape(-1).astype(jnp.int32)
+        if self.use_mxu:
+            tris_arg, a_ids = (tris_dirs, lights_scal), wl.block_ids
+        else:
+            tris_arg, a_ids = lights_scal, None
         hit = bsr_trace.bsr_any(
-            q, excl, (tris_dirs, lights_scal), wl.tile_ids, block_ids,
-            wl.entry, wl.count, dead, ablock_ids=wl.block_ids,
+            q, excl, tris_arg, wl.tile_ids, block_ids,
+            wl.entry, wl.count, dead, ablock_ids=a_ids,
             rt=self.rt, tb=self.tb,
             w_pad=w_pad_sh, interpret=self.interpret, shared_origin=True,
             exit_every=self.exit_every)

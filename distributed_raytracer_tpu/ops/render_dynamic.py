@@ -80,12 +80,15 @@ class DynamicCulledRenderer(CulledRenderer):
         scene_d = scene._replace(light_pos=diff.light_pos,
                                  light_col=diff.light_col)
         n_lights = int(diff.light_pos.shape[0])
+        fold = (bsr_trace.fold_origin_scal if self.use_mxu
+                else bsr_trace.pack_tris_origin)
         if n_lights:
             lights_scal_d = jnp.concatenate(
-                [bsr_trace.fold_origin_scal(tris16_d, diff.light_pos[li])
+                [fold(tris16_d, diff.light_pos[li])
                  for li in range(n_lights)], axis=0)
         else:
-            lights_scal_d = jnp.zeros((0, 8), jnp.float32)
+            lights_scal_d = jnp.zeros((0, 8 if self.use_mxu else 16),
+                                      jnp.float32)
         return scene_d, tris16_d, lights_scal_d, table32_d, blo_d, bhi_d
 
     def _dyn_fn(self, pads, scene, tris16, tris_dirs, table32,

@@ -178,3 +178,40 @@ def test_culled_offview_camera_is_black(tetra_scene, interpret):
     dense = np.asarray(render_frame(tetra_scene.bake(), away.to_arrays(), w, h))
     culled = np.asarray(r.render(away))
     np.testing.assert_allclose(culled, dense, atol=2e-5)
+
+
+# ---- inverted-padding rejection (round-2 config-5 TPU fault) ---------------
+
+def test_inverted_padding_boxes_never_pass():
+    """The slab quotient math alone PASSES (+inf, -inf) inverted boxes
+    (a=+inf/b=-inf spans every axis interval), so the masks must reject
+    them explicitly — a passing phantom superblock member becomes an
+    out-of-range block id and out-of-bounds DMA in the kernels."""
+    ti = cull.TileIntervals(
+        o_lo=jnp.zeros((2, 3)), o_hi=jnp.zeros((2, 3)),
+        d_lo=jnp.full((2, 3), -1.0), d_hi=jnp.ones((2, 3)),
+        t_hi=jnp.full((2,), jnp.inf))
+    blo = jnp.array([[-1.0, -1, -1], [jnp.inf] * 3])
+    bhi = jnp.array([[1.0, 1, 1], [-jnp.inf] * 3])
+    mask, _ = cull.block_mask_with_entry(ti, blo, bhi)
+    assert bool(mask[0, 0]) and not bool(mask[:, 1].any())
+
+
+def test_fine_worklist_block_ids_in_range():
+    """nb not a multiple of cull_group: the last superblock's phantom
+    members must never reach the work list (mask) nor exceed nb-1 (clamp)."""
+    rng = np.random.default_rng(7)
+    nb, group = 9, 4          # nsb=3, 3 phantom members in the tail
+    blo = jnp.asarray(rng.uniform(-5, 4, (nb, 3)).astype(np.float32))
+    bhi = blo + jnp.asarray(rng.uniform(0.5, 2, (nb, 3)).astype(np.float32))
+    ti = cull.TileIntervals(
+        o_lo=jnp.full((3, 3), -10.0), o_hi=jnp.full((3, 3), -10.0),
+        d_lo=jnp.full((3, 3), 0.1), d_hi=jnp.ones((3, 3)),
+        t_hi=jnp.full((3,), jnp.inf))
+    mask1, entry1, c1 = cull.coarse_mask(ti, blo, bhi, group)
+    wl, c2 = cull.fine_worklist(ti, mask1, entry1, c1, blo, bhi, group,
+                                w1_pad=16, w_pad=64)
+    assert int(wl.block_ids.max()) < nb
+    # every real work item references an existing block
+    ids = np.asarray(wl.block_ids)[: int(wl.count)]
+    assert ids.size > 0 and ids.max() < nb
