@@ -39,8 +39,10 @@ block with the xyz coefficients in columns 3:6 (aligned to the d rows of
 the packed rays; all other columns zero, so the o/tmax rows contribute
 nothing — which is why packed t_max is FINITE-big, never inf: 0*inf=NaN).
 The matmul runs on the MXU *in parallel* with the VPU's remaining ~31
-ops/pair, raising the pair-throughput roofline ~1.5x
-(utils/profiling.SOL_GPAIRS_MXU). A is STATIC per scene — it holds only
+ops/pair, raising the theoretical pair-throughput roofline ~1.5x
+(utils/profiling.SOL_GPAIRS_MXU_OFFLOAD) — though on real v5e the variant
+measured SLOWER than all-VPU (K=8 underutilizes the systolic array), so it
+ships behind CulledRenderer(use_mxu=True). A is STATIC per scene — it holds only
 direction coefficients, which are translation-invariant — while the
 origin-dependent scalars (num, a_u, a_v) ride a tiny (T, 8) side array
 refolded per frame/per light (fold_origin_scal): the dynamic-diff path

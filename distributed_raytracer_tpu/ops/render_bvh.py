@@ -550,11 +550,17 @@ class CulledRenderer:
                     self.block_hi, self._perm, c)
             img, counts = state["fused"](*args)
             if verify:
-                got = np.asarray(counts)
-                if any(any(g[k] > p[k] for k in range(4))
-                       for g, p in zip(got, state["pads"])):
+                # Loop until all per-bounce counts fit: an overflowed
+                # level-1 bucket truncates the level-1 list, making the
+                # reported level-2 counts undercounts — one refreeze from
+                # them is not sufficient (see render_fast's verify loop).
+                for _ in range(8):
+                    got = np.asarray(counts)
+                    if not any(any(g[k] > p[k] for k in range(4))
+                               for g, p in zip(got, state["pads"])):
+                        break
                     freeze_from([tuple(g) for g in got])
-                    img, _ = state["fused"](*args)
+                    img, counts = state["fused"](*args)
             return img
 
         render.pads = lambda: state["pads"]
@@ -638,7 +644,13 @@ class CulledRenderer:
     def render_fast(self, camera, verify: bool = False):
         """One fused dispatch, no host syncs. Returns a device array; with
         verify=True, blocks to check the frozen buckets still hold (and
-        refreezes + rerenders if they overflowed)."""
+        refreezes + rerenders if they overflowed).
+
+        The verify pass LOOPS until every count fits its bucket: when a
+        level-1 bucket overflows, the truncated level-1 list makes the
+        reported level-2 counts undercounts, so a single refreeze-from-
+        reported-counts could still drop fine cells — only a re-render
+        whose counts all fit proves nothing was truncated."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         if self._fused is None:
             self.freeze(camera)
@@ -646,11 +658,13 @@ class CulledRenderer:
             self.arrays, self.tris_packed, self.tris_dirs, self.lights_scal,
             self.shade_tbl, self.block_lo, self.block_hi, self._perm, cam)
         if verify:
-            got = tuple(int(c) for c in np.asarray(counts))
-            if any(g > p for g, p in zip(got, self._frozen_pads)):
+            for _ in range(8):   # each round strictly grows some bucket
+                got = tuple(int(c) for c in np.asarray(counts))
+                if all(g <= p for g, p in zip(got, self._frozen_pads)):
+                    break
                 self._last_counts = got
                 self.freeze(camera)
-                img, _ = self._fused(
+                img, counts = self._fused(
                     self.arrays, self.tris_packed, self.tris_dirs,
                     self.lights_scal, self.shade_tbl, self.block_lo,
                     self.block_hi, self._perm, cam)

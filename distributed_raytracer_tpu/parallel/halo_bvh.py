@@ -77,6 +77,43 @@ class ShardedGeometry(NamedTuple):
     base: jnp.ndarray      # (n,) int32 first global triangle id per shard
 
 
+class DynGeometry(NamedTuple):
+    """Ownership maps for per-frame object diffs on sharded geometry
+    (scene.bake_bvh_grouped's outputs, sharded like ShardedGeometry)."""
+
+    obj_id: jnp.ndarray     # (T,) int32 owning object per triangle slot
+    block_obj: jnp.ndarray  # (NB,) int32 owning object per leaf block
+    obj_pos0: jnp.ndarray   # (O, 3) f32 baked object positions (replicated)
+
+
+def apply_diff_sharded(geom: ShardedGeometry, dyn: DynGeometry, diff):
+    """Fold a SceneDiff into one shard's resident geometry (device, under
+    shard_map) — ops/render_dynamic.py's translation transform applied to
+    the LOCAL rows: every worker applies every diff, whatever the topology
+    (environment.go:73-98, worker/distributed/main.go:56-64).
+
+    Translation-only placement means a shift d touches exactly plane_d,
+    c_u, c_v (per-triangle scalars), the shading table's p0 rows, and the
+    whole-object leaf-block AABBs (bake_bvh_grouped guarantees one owner
+    per block, so the shift is exact). Inverted padding AABBs stay
+    inverted (±inf + finite = ±inf) and keep culling to nothing.
+    """
+    delta = (diff.obj_pos - dyn.obj_pos0).astype(jnp.float32)     # (O, 3)
+    dt = delta[dyn.obj_id]                                        # (T, 3)
+    t16 = geom.tris16
+    geo_n, ku, kv = t16[:, 0:3], t16[:, 4:7], t16[:, 8:11]
+    plane = t16[:, 3:4] + jnp.sum(geo_n * dt, 1, keepdims=True)
+    cu = t16[:, 7:8] - jnp.sum(ku * dt, 1, keepdims=True)
+    cv = t16[:, 11:12] - jnp.sum(kv * dt, 1, keepdims=True)
+    tris16_d = jnp.concatenate([geo_n, plane, ku, cu, kv, cv, t16[:, 12:]],
+                               axis=1)
+    db = delta[dyn.block_obj]
+    return geom._replace(tris16=tris16_d,
+                         table32=geom.table32.at[:, 0:3].add(dt),
+                         block_lo=geom.block_lo + db,
+                         block_hi=geom.block_hi + db)
+
+
 def _pad_to_shardable(arrays, tree, n: int):
     """Append degenerate blocks so the block count divides the mesh size.
 
@@ -122,7 +159,7 @@ class HaloCulledRenderer:
                  sizing_camera: Optional[Camera] = None,
                  margin: float = 2.0, cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, dynamic: bool = False):
         if mesh is None:
             mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
         self.mesh = mesh
@@ -131,7 +168,16 @@ class HaloCulledRenderer:
         self.rt, self.tb = ray_tile, block_size
         self.margin, self.interpret = margin, interpret
 
-        arrays, tree = scene.bake_bvh(block_size=block_size)
+        # dynamic=True bakes with per-object Morton grouping so per-frame
+        # SceneDiff translations shift leaf-block AABBs exactly
+        # (render_dynamic below — the sharded analog of
+        # ops/render_dynamic.DynamicCulledRenderer).
+        if dynamic:
+            (arrays, tree, obj_id, block_obj,
+             obj_pos0) = scene.bake_bvh_grouped(block_size=block_size)
+        else:
+            arrays, tree = scene.bake_bvh(block_size=block_size)
+        nb_orig = tree.num_blocks
         arrays, lo, hi = _pad_to_shardable(arrays, tree, self.n)
         self.nb_ext = lo.shape[0]
         self.nb_loc = self.nb_ext // self.n
@@ -152,6 +198,21 @@ class HaloCulledRenderer:
             block_hi=jax.device_put(hi, sh(P(AXIS))),
             base=jax.device_put(base, sh(P(AXIS))),
         )
+        if dynamic:
+            # Pad the ownership maps alongside _pad_to_shardable (padding
+            # slots/blocks chart to object 0: degenerate triangles never
+            # hit and inverted AABBs never pass, so any owner works).
+            pad_b = lo.shape[0] - nb_orig
+            obj_id = np.pad(np.asarray(obj_id, np.int32),
+                            (0, pad_b * block_size))
+            block_obj = np.pad(np.asarray(block_obj, np.int32), (0, pad_b))
+            self._dyn = DynGeometry(
+                obj_id=jax.device_put(obj_id, sh(P(AXIS))),
+                block_obj=jax.device_put(block_obj, sh(P(AXIS))),
+                obj_pos0=jax.device_put(
+                    np.asarray(obj_pos0, np.float32), sh(P())))
+        else:
+            self._dyn = None
         # Full-geometry copies for the build-time sizing pass only (freed
         # after sizing; the frame path touches only the sharded values).
         self._full = (jnp.asarray(tris16), jnp.asarray(table32),
@@ -236,8 +297,15 @@ class HaloCulledRenderer:
     # -- the sharded frame --------------------------------------------------
 
     def _shard_fn(self, w_pad: int, w_pad_sh: int, cam: CameraArrays,
-                  geom: ShardedGeometry, perm):
+                  geom: ShardedGeometry, perm, lights_pos, lights_col,
+                  dyn: Optional[DynGeometry] = None, diff=None):
         n, rt, tb = self.n, self.rt, self.tb
+        if diff is not None:
+            # Every shard folds the frame's diff into its resident rows
+            # before any culling — environment.go:73-98's "every worker
+            # applies every diff", minus the R-tree rebuild (block AABBs
+            # shift exactly under the grouped bake).
+            geom = apply_diff_sharded(geom, dyn, diff)
         gid0 = geom.base[0]
 
         # 1-2: full-frame rays, cull vs LOCAL blocks, local BSR nearest.
@@ -280,9 +348,9 @@ class HaloCulledRenderer:
         my_rays = jax.lax.dynamic_slice(
             rays, (0, me * self.r_loc), (8, self.r_loc))
         prep = shade.prepare_packed_rows(
-            self.lights_pos, my_rays, jnp.where(valid, best_t, 0.0),
+            lights_pos, my_rays, jnp.where(valid, best_t, 0.0),
             best_g.T, self.cfg)
-        live_l = shade.light_gates_rows(self.lights_col, cam.pos, prep, valid)
+        live_l = shade.light_gates_rows(lights_col, cam.pos, prep, valid)
         excl = jnp.where(valid, best_i, -1)
         lit = []
         count_s = jnp.int32(0)
@@ -297,7 +365,7 @@ class HaloCulledRenderer:
             count_s = jnp.maximum(count_s, smask.sum().astype(jnp.int32))
             swl = cull.compact_worklist(smask, w_pad_sh, entry=sentry)
             tris_l = bsr_trace.pack_tris_origin(geom.tris16,
-                                                self.lights_pos[li])
+                                                lights_pos[li])
             hit = bsr_trace.bsr_any(
                 q_g, excl_g, tris_l, swl.tile_ids, swl.block_ids, swl.entry,
                 swl.count, gid_base=gid0, rt=rt, tb=tb, w_pad=w_pad_sh,
@@ -309,29 +377,44 @@ class HaloCulledRenderer:
                else jnp.zeros((0, self.r_loc), bool))
 
         # 5: local Phong from the carried rows.
-        colour = shade.shade_core_rows(self.lights_col, cam.pos, prep,
+        colour = shade.shade_core_rows(lights_col, cam.pos, prep,
                                        valid, lit)
         counts = jnp.stack([count_p, count_s])[None, :]    # (1, 2)
         return colour, counts
 
     def _freeze(self, counts: np.ndarray) -> None:
+        from distributed_raytracer_tpu.models.scene import SceneDiff
+
         self.w_pad = _bucket(int(counts[:, 0].max()), self.margin)
         self.w_pad_sh = _bucket(int(counts[:, 1].max()), self.margin)
         fn = functools.partial(self._shard_fn, self.w_pad, self.w_pad_sh)
+        geom_specs = ShardedGeometry(
+            tris16=P(AXIS), table32=P(AXIS), block_lo=P(AXIS),
+            block_hi=P(AXIS), base=P(AXIS))
         self._render_jit = jax.jit(shard_map(
             fn, mesh=self.mesh,
-            in_specs=(P(), ShardedGeometry(
-                tris16=P(AXIS), table32=P(AXIS), block_lo=P(AXIS),
-                block_hi=P(AXIS), base=P(AXIS)), P()),
+            in_specs=(P(), geom_specs, P(), P(), P()),
             out_specs=(P(None, AXIS), P(AXIS)),
             check_vma=False,
         ))
+        if self._dyn is not None:
+            dyn_specs = DynGeometry(obj_id=P(AXIS), block_obj=P(AXIS),
+                                    obj_pos0=P())
+            diff_specs = SceneDiff(*(P() for _ in SceneDiff._fields))
+            self._render_dyn_jit = jax.jit(shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(), geom_specs, P(), P(), P(), dyn_specs,
+                          diff_specs),
+                out_specs=(P(None, AXIS), P(AXIS)),
+                check_vma=False,
+            ))
 
     # -- public -------------------------------------------------------------
 
     def device_fn(self, cam: CameraArrays):
         """(colour rows (3, n_pad_ext), per-shard counts (n, 2)) on device."""
-        return self._render_jit(cam, self.geom, self._perm)
+        return self._render_jit(cam, self.geom, self._perm,
+                                self.lights_pos, self.lights_col)
 
     def _assemble(self, rows: jnp.ndarray) -> np.ndarray:
         tw, th = self.tile_w, self.tile_h
@@ -350,6 +433,29 @@ class HaloCulledRenderer:
                     int(c[:, 1].max()) > self.w_pad_sh:
                 self._freeze(c)                  # re-size from true counts
                 rows, counts = self.device_fn(cam)
+        self.last_counts = np.asarray(counts)
+        return self._assemble(rows)
+
+    def render_dynamic(self, camera, diff, verify: bool = False):
+        """One sharded dispatch with the frame's SceneDiff folded into each
+        shard's resident geometry (requires dynamic=True at construction).
+        Counts are exact (full masks), so one refreeze suffices on
+        overflow."""
+        from distributed_raytracer_tpu.models.scene import SceneDiff
+
+        if self._dyn is None:
+            raise ValueError("build with dynamic=True for render_dynamic")
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        diff = SceneDiff(*(jnp.asarray(a, jnp.float32) for a in diff))
+        args = (cam, self.geom, self._perm, diff.light_pos, diff.light_col,
+                self._dyn, diff)
+        rows, counts = self._render_dyn_jit(*args)
+        if verify:
+            c = np.asarray(counts)
+            if int(c[:, 0].max()) > self.w_pad or \
+                    int(c[:, 1].max()) > self.w_pad_sh:
+                self._freeze(c)
+                rows, counts = self._render_dyn_jit(*args)
         self.last_counts = np.asarray(counts)
         return self._assemble(rows)
 

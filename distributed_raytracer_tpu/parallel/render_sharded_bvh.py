@@ -107,9 +107,14 @@ def _finish(mesh, n, h_band, band, shard_fn, height, refreeze):
         c = cam.to_arrays() if isinstance(cam, Camera) else cam
         out, counts = device_fn(c)
         if verify:
-            got = np.asarray(counts)
-            new_fn = refreeze(got)
-            if new_fn is not None:
+            # Loop until every band's counts fit: a level-1 overflow makes
+            # the reported level-2 counts undercounts, so a single
+            # refreeze-from-reported-values could still truncate (see
+            # CulledRenderer.render_fast's verify loop).
+            for _ in range(8):
+                new_fn = refreeze(np.asarray(counts))
+                if new_fn is None:
+                    break
                 state["jit"] = build(new_fn)
                 out, counts = device_fn(c)
         render.last_counts = np.asarray(counts)

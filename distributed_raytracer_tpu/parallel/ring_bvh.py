@@ -53,8 +53,8 @@ from distributed_raytracer_tpu.models.camera import Camera, CameraArrays
 from distributed_raytracer_tpu.models.scene import Scene
 from distributed_raytracer_tpu.ops import cull, raygen, shade
 from distributed_raytracer_tpu.ops.pallas import bsr_trace
-from distributed_raytracer_tpu.parallel.halo_bvh import (ShardedGeometry,
-                                                         _pad_to_shardable)
+from distributed_raytracer_tpu.parallel.halo_bvh import (
+    DynGeometry, ShardedGeometry, _pad_to_shardable, apply_diff_sharded)
 from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
 
 AXIS = "ring"
@@ -79,7 +79,7 @@ class RingCulledRenderer:
                  sizing_camera: Optional[Camera] = None,
                  margin: float = 2.0, cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, dynamic: bool = False):
         if mesh is None:
             mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
         self.mesh = mesh
@@ -88,7 +88,14 @@ class RingCulledRenderer:
         self.rt, self.tb = ray_tile, block_size
         self.margin, self.interpret = margin, interpret
 
-        arrays, tree = scene.bake_bvh(block_size=block_size)
+        # dynamic=True: per-object grouped bake for exact per-frame AABB
+        # shifts under SceneDiff (render_dynamic below).
+        if dynamic:
+            (arrays, tree, obj_id, block_obj,
+             obj_pos0) = scene.bake_bvh_grouped(block_size=block_size)
+        else:
+            arrays, tree = scene.bake_bvh(block_size=block_size)
+        nb_orig = tree.num_blocks
         arrays, lo, hi = _pad_to_shardable(arrays, tree, self.n)
         self.nb_ext = lo.shape[0]
         self.nb_loc = self.nb_ext // self.n
@@ -109,6 +116,18 @@ class RingCulledRenderer:
             block_hi=jax.device_put(hi, sh(P(AXIS))),
             base=jax.device_put(base, sh(P(AXIS))),
         )
+        if dynamic:
+            pad_b = lo.shape[0] - nb_orig
+            obj_id = np.pad(np.asarray(obj_id, np.int32),
+                            (0, pad_b * block_size))
+            block_obj = np.pad(np.asarray(block_obj, np.int32), (0, pad_b))
+            self._dyn = DynGeometry(
+                obj_id=jax.device_put(obj_id, sh(P(AXIS))),
+                block_obj=jax.device_put(block_obj, sh(P(AXIS))),
+                obj_pos0=jax.device_put(
+                    np.asarray(obj_pos0, np.float32), sh(P())))
+        else:
+            self._dyn = None
         self._full = (jnp.asarray(tris16), jnp.asarray(table32),
                       jnp.asarray(lo), jnp.asarray(hi))
 
@@ -195,8 +214,15 @@ class RingCulledRenderer:
     # -- the sharded frame ---------------------------------------------------
 
     def _shard_fn(self, w_pad: int, w_pad_sh: int, cam: CameraArrays,
-                  geom: ShardedGeometry, perm):
+                  geom: ShardedGeometry, perm, lights_pos, lights_col,
+                  dyn=None, diff=None):
         n, rt, tb = self.n, self.rt, self.tb
+        if diff is not None:
+            # Fold the frame's diff into the resident shard BEFORE the
+            # rotation starts: every shard holds diffed rows, so every
+            # rotation step streams already-updated geometry
+            # (environment.go:73-98's every-worker-applies-every-diff).
+            geom = apply_diff_sharded(geom, dyn, diff)
         me = jax.lax.axis_index(AXIS)
 
         # Resident rays: this device's contiguous run of screen tiles.
@@ -242,9 +268,9 @@ class RingCulledRenderer:
 
         # Phase 2: shadow rotation. Queries fixed; hulls computed once.
         prep = shade.prepare_packed_rows(
-            self.lights_pos, rays, jnp.where(valid, best_t, 0.0),
+            lights_pos, rays, jnp.where(valid, best_t, 0.0),
             best_g.T, self.cfg)
-        live_l = shade.light_gates_rows(self.lights_col, cam.pos, prep, valid)
+        live_l = shade.light_gates_rows(lights_col, cam.pos, prep, valid)
         excl = jnp.where(valid, best_i, -1)
         tis = [cull.tile_intervals_packed(prep.q_rev[li], rt,
                                           live=live_l[li], use_tmax=True)
@@ -259,7 +285,7 @@ class RingCulledRenderer:
                 cmax = jnp.maximum(cmax, smask.sum().astype(jnp.int32))
                 swl = cull.compact_worklist(smask, w_pad_sh, entry=sentry)
                 tris_l = bsr_trace.pack_tris_origin(sh.tris16,
-                                                    self.lights_pos[li])
+                                                    lights_pos[li])
                 h = bsr_trace.bsr_any(
                     prep.q_rev[li], excl, tris_l, swl.tile_ids, swl.block_ids,
                     swl.entry, swl.count, init=hit[li], gid_base=sh.base[0],
@@ -275,28 +301,43 @@ class RingCulledRenderer:
             step2, ((hit0, jnp.int32(0)), geom_back), None, length=n)
         lit = hit == 0
 
-        colour = shade.shade_core_rows(self.lights_col, cam.pos, prep,
+        colour = shade.shade_core_rows(lights_col, cam.pos, prep,
                                        valid, lit)
         counts = jnp.stack([count_p, count_s])[None, :]     # (1, 2)
         return colour, counts
 
     def _freeze(self, counts: np.ndarray) -> None:
+        from distributed_raytracer_tpu.models.scene import SceneDiff
+
         self.w_pad = _bucket(int(counts[0]), self.margin)
         self.w_pad_sh = _bucket(int(counts[1]), self.margin)
         fn = functools.partial(self._shard_fn, self.w_pad, self.w_pad_sh)
+        geom_specs = ShardedGeometry(
+            tris16=P(AXIS), table32=P(AXIS), block_lo=P(AXIS),
+            block_hi=P(AXIS), base=P(AXIS))
         self._render_jit = jax.jit(shard_map(
             fn, mesh=self.mesh,
-            in_specs=(P(), ShardedGeometry(
-                tris16=P(AXIS), table32=P(AXIS), block_lo=P(AXIS),
-                block_hi=P(AXIS), base=P(AXIS)), P()),
+            in_specs=(P(), geom_specs, P(), P(), P()),
             out_specs=(P(None, AXIS), P(AXIS)),
             check_vma=False,
         ))
+        if self._dyn is not None:
+            dyn_specs = DynGeometry(obj_id=P(AXIS), block_obj=P(AXIS),
+                                    obj_pos0=P())
+            diff_specs = SceneDiff(*(P() for _ in SceneDiff._fields))
+            self._render_dyn_jit = jax.jit(shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(), geom_specs, P(), P(), P(), dyn_specs,
+                          diff_specs),
+                out_specs=(P(None, AXIS), P(AXIS)),
+                check_vma=False,
+            ))
 
     # -- public --------------------------------------------------------------
 
     def device_fn(self, cam: CameraArrays):
-        return self._render_jit(cam, self.geom, self._perm)
+        return self._render_jit(cam, self.geom, self._perm,
+                                self.lights_pos, self.lights_col)
 
     def _assemble(self, rows: jnp.ndarray) -> np.ndarray:
         tw, th = self.tile_w, self.tile_h
@@ -315,6 +356,28 @@ class RingCulledRenderer:
                     int(c[:, 1].max()) > self.w_pad_sh:
                 self._freeze(np.asarray([c[:, 0].max(), c[:, 1].max()]))
                 rows, counts = self.device_fn(cam)
+        c = np.asarray(counts)
+        self.last_counts = np.asarray([c[:, 0].max(), c[:, 1].max()])
+        return self._assemble(rows)
+
+    def render_dynamic(self, camera, diff, verify: bool = False):
+        """One sharded ring dispatch with the frame's SceneDiff folded
+        into each shard before rotation (requires dynamic=True)."""
+        from distributed_raytracer_tpu.models.scene import SceneDiff
+
+        if self._dyn is None:
+            raise ValueError("build with dynamic=True for render_dynamic")
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        diff = SceneDiff(*(jnp.asarray(a, jnp.float32) for a in diff))
+        args = (cam, self.geom, self._perm, diff.light_pos, diff.light_col,
+                self._dyn, diff)
+        rows, counts = self._render_dyn_jit(*args)
+        if verify:
+            c = np.asarray(counts)
+            if int(c[:, 0].max()) > self.w_pad or \
+                    int(c[:, 1].max()) > self.w_pad_sh:
+                self._freeze(np.asarray([c[:, 0].max(), c[:, 1].max()]))
+                rows, counts = self._render_dyn_jit(*args)
         c = np.asarray(counts)
         self.last_counts = np.asarray([c[:, 0].max(), c[:, 1].max()])
         return self._assemble(rows)

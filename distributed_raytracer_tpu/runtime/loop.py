@@ -14,6 +14,18 @@ Fault-handling mapping: the reference drops whole frames when a tile fails
 A TPU slice fails as a unit, so per-tile recovery does not apply; the loop
 instead treats a failed device step as a dropped frame and continues
 (drop accounting preserved so the §3 drop-rate metric remains reportable).
+
+Recovery (not just containment): the reference HEALS — a failed or
+partitioned worker idles out, shuts its server, and re-enters the
+registration loop (worker/distributed/main.go:160-185) while the master
+evicts it on heartbeat loss (pool.go:224-260), so the system returns to
+full service without operator action. The SPMD analog lives at the process
+level: when a run of consecutive drops says the renderer (or its device
+client) is wedged, the loop calls the pluggable `recover` hook to tear
+down and rebuild the render path, then resumes the frame stream; it
+aborts only when recovery itself fails or the rebuilt path keeps failing
+(cfg.max_recoveries). `make_culled_recoverer` is the stock rebuild hook
+for the production block-sparse path.
 """
 
 from __future__ import annotations
@@ -46,19 +58,55 @@ def run_loop(
     cfg: RenderConfig = DEFAULT_CONFIG,
     realtime: bool = False,         # pace ticks at cfg.target_fps (main.go:271-275)
     max_frames: Optional[int] = None,
+    recover: Optional[Callable] = None,   # (attempt) -> new render_fn
 ):
     """Drive the interactive loop until events are exhausted or Esc.
 
     Each element of `events` is a list of (kind, *args) tuples with kinds
     "key_down"/"key_up"/"mouse" — the HandleInputs analog. Returns
     (final_camera, FrameStats).
+
+    `recover`, when given, is called with the 1-based attempt number after
+    cfg.max_consecutive_drops consecutive dropped frames; it should tear
+    down and rebuild the render path (fresh renderer, fresh device client)
+    and return the replacement render_fn — the worker re-registration
+    analog (worker/distributed/main.go:160-185). Returning None or raising
+    means recovery failed; the loop aborts after cfg.max_recoveries
+    failed-or-exhausted attempts. Successful recoveries are counted in
+    FrameStats.recoveries.
     """
     controller = CameraController(width=width, height=height, cfg=cfg)
     timer = FrameTimer()
     in_flight = collections.deque()  # (frame_index, device_array)
     frames_dropped = 0
     consecutive_drops = 0
+    recoveries = 0
     ms_per_frame = 1000.0 / cfg.target_fps
+
+    def try_recover():
+        """Rebuild the render path via the `recover` hook. Returns True if
+        the stream should continue (with render_fn replaced)."""
+        nonlocal render_fn, consecutive_drops, recoveries
+        if recover is None or recoveries >= cfg.max_recoveries:
+            return False
+        # Wedged in-flight results belong to the torn-down path; drain
+        # them as drops so display stays in order.
+        while in_flight:
+            drain_one()
+        attempt = recoveries + 1
+        try:
+            new_fn = recover(attempt)
+        except Exception:
+            _log.exception("recovery attempt %d failed", attempt)
+            return False
+        if new_fn is None:
+            return False
+        _log.warning("recovered render path (attempt %d); resuming stream",
+                     attempt)
+        render_fn = new_fn
+        recoveries = attempt
+        consecutive_drops = 0
+        return True
 
     def drain_one():
         nonlocal frames_dropped, consecutive_drops
@@ -104,15 +152,29 @@ def run_loop(
                 _log.warning("frame %d dropped (dispatch failure)",
                              frame_index)
             else:
+                # Start the device->host copy immediately (non-blocking):
+                # frame k's transfer overlaps frame k+1's compute, which
+                # matters when the host link is the bottleneck (tunneled
+                # TPU: the wire, not the chip, bounds display FPS).
+                copy_async = getattr(fut, "copy_to_host_async", None)
+                if copy_async is not None:
+                    try:
+                        copy_async()
+                    except Exception:
+                        pass   # the drain's np.asarray still works
                 in_flight.append((frame_index, fut))
                 while len(in_flight) > cfg.frames_in_flight:
                     drain_one()
             if consecutive_drops >= cfg.max_consecutive_drops:
-                # Permanent failure: stop issuing instead of spinning at
-                # target FPS forever with every frame a drop.
-                _log.error("aborting after %d consecutive dropped frames",
-                           consecutive_drops)
-                break
+                # The render path looks wedged: heal it if we can
+                # (re-registration analog); abort only when recovery is
+                # unavailable, exhausted, or itself failing — otherwise
+                # the loop would spin at target FPS with every frame a
+                # drop.
+                if not try_recover():
+                    _log.error("aborting after %d consecutive dropped "
+                               "frames", consecutive_drops)
+                    break
             if max_frames is not None and timer.frames_total >= max_frames:
                 break
 
@@ -124,4 +186,27 @@ def run_loop(
     while in_flight:
         drain_one()
     stats = timer.stats()
+    if stats is not None:
+        stats.recoveries = recoveries
     return camera, stats, frames_dropped
+
+
+def make_culled_recoverer(scene, width: int, height: int, **renderer_kwargs):
+    """Stock `recover` hook for the block-sparse path: builds a FRESH
+    CulledRenderer (new bake upload, new compiled pipeline, new executables
+    — everything the old wedged path owned) and returns a render_fn over
+    it. Clears jax's live caches first so poisoned executables are not
+    reused. The reference analog: a worker that idled out rebuilds its
+    server and re-registers from scratch, receiving the full scene again
+    (worker/distributed/main.go:101-129,:160-171)."""
+    def recover(attempt: int):
+        import jax
+
+        from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+
+        jax.clear_caches()
+        r = CulledRenderer(scene, width, height, **renderer_kwargs)
+        r.render(scene.camera, block=True)
+        r.freeze(scene.camera)
+        return lambda scene_arrays, cam_arrays: r.render_fast(cam_arrays)
+    return recover

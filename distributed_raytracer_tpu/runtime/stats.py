@@ -26,6 +26,10 @@ class FrameStats:
     stddev_fps: float
     fps_range: tuple
     fps_per_frame: List[float]
+    # Successful render-path rebuilds during the run (runtime/loop.py
+    # recovery — the reference's worker re-registration analog). Not part
+    # of the Go exit report; kept out of report().
+    recoveries: int = 0
 
     def report(self) -> str:
         lines = [

@@ -47,6 +47,12 @@ class RenderConfig:
     # ending the run when no worker answers (pool.go:224-260). A transient
     # failure (one bad dispatch) just drops frames, like main.go:153-161.
     max_consecutive_drops: int = 30
+    # Recovery: when a drop run hits max_consecutive_drops and the loop
+    # has a `recover` hook, it rebuilds the render path and resumes — the
+    # worker's idle-out -> re-register healing loop
+    # (worker/distributed/main.go:160-185). After this many rebuilds the
+    # loop gives up and aborts.
+    max_recoveries: int = 3
 
     # TPU-specific tunables (no reference equivalent).
     ray_chunk: int = 8192          # rays per lax.map chunk in the dense path

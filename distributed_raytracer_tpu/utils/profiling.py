@@ -17,12 +17,15 @@ code is slow):
     den/u/v direction dots 15, t = num/den ≈ 4 (reciprocal sequence),
     u/v fma 4, seven compares + three ands ≈ 10, masked min + argmin
     fold ≈ 8, select/write ≈ 5. (The per-ray-origin variant adds ~12.)
-  - SOL := 3.85e12 / 46 ≈ 84 Gpairs/s/core for the all-VPU kernels.
-    The production shared-origin kernels (round 2) offload the three
-    direction dots to the MXU, which runs in parallel with the VPU: the
-    VPU's ~31 remaining ops/pair set the bound, 3.85e12 / 31 ≈ 124
-    Gpairs/s (the MXU side is nowhere near its own ceiling at K=8).
-    sol_fraction uses the MXU-aware figure — the harder target.
+  - SOL := 3.85e12 / 46 ≈ 84 Gpairs/s/core for the all-VPU shared-origin
+    kernels — the production default (round 3: the MXU direction-dot
+    offload measured 1.4-1.8x SLOWER on real v5e despite its higher
+    theoretical ceiling of 3.85e12 / 31 ≈ 124 Gpairs/s, kept as
+    SOL_GPAIRS_MXU_OFFLOAD for A/B accounting). The per-ray-origin
+    variant (multi-bounce nearest queries) needs ~12 more ops/pair:
+    SOL_GPAIRS_PER_RAY ≈ 66.
+    `FrameWork.sol` picks the roofline matching the kernel variant the
+    measured path actually ran, so reported fractions are comparable.
 For context: the round-1 dense-sweep microbenchmark measured ~11 Gpairs/s
 (13% of the all-VPU SOL) — the gap is the optimization budget, not noise.
 """
@@ -38,8 +41,12 @@ PAIR_FLOPS = 47.0
 VPU_OPS_PER_SEC = 8 * 128 * 4 * 0.94e9   # one v5e TensorCore, f32
 PAIR_VPU_OPS = 46.0                      # all-VPU shared-origin pair eval
 PAIR_VPU_OPS_MXU = 31.0                  # with the 3 direction dots on MXU
-SOL_GPAIRS_ALL_VPU = VPU_OPS_PER_SEC / PAIR_VPU_OPS / 1e9      # ≈ 84
-SOL_GPAIRS = VPU_OPS_PER_SEC / PAIR_VPU_OPS_MXU / 1e9          # ≈ 124
+PAIR_VPU_OPS_PER_RAY = 58.0              # per-ray-origin (bounce) variant
+SOL_GPAIRS_ALL_VPU = VPU_OPS_PER_SEC / PAIR_VPU_OPS / 1e9          # ≈ 84
+SOL_GPAIRS_MXU_OFFLOAD = VPU_OPS_PER_SEC / PAIR_VPU_OPS_MXU / 1e9  # ≈ 124
+SOL_GPAIRS_PER_RAY = VPU_OPS_PER_SEC / PAIR_VPU_OPS_PER_RAY / 1e9  # ≈ 66
+# Default roofline = the production kernel family (all-VPU shared-origin).
+SOL_GPAIRS = SOL_GPAIRS_ALL_VPU
 # Round-1 measured dense-sweep throughput, kept for context only.
 MEASURED_DENSE_GPAIRS_R1 = 11.0
 
@@ -66,6 +73,10 @@ class FrameWork:
     ray_tile: int
     tri_block: int
     seconds: float
+    # Roofline for the kernel variant this frame actually ran: pass
+    # SOL_GPAIRS_PER_RAY for multi-bounce (per-ray-origin) paths,
+    # SOL_GPAIRS_MXU_OFFLOAD when use_mxu was on.
+    sol_gpairs: float = SOL_GPAIRS
 
     @property
     def pairs(self) -> float:
@@ -82,11 +93,11 @@ class FrameWork:
     @property
     def sol_fraction(self) -> float:
         """Fraction of the hardware-derived pair-throughput ceiling
-        (SOL_GPAIRS, module docstring) achieved, counting scheduled
+        (`sol_gpairs`, module docstring) achieved, counting scheduled
         (post-cull, pre-early-exit) pairs. Frame time includes cull +
         compaction + shading, so this is an end-to-end fraction; the
         kernel-only fraction is higher."""
-        return self.gpairs_per_sec / SOL_GPAIRS
+        return self.gpairs_per_sec / self.sol_gpairs
 
     def report(self) -> str:
         return (f"{self.rays} rays, {self.primary_cells}+{self.shadow_cells} "

@@ -92,3 +92,22 @@ def suzanne_scene():
     if not os.path.exists(REFERENCE_EXAMPLE):
         pytest.skip("reference example scene not available")
     return scene_mod.load_scene(REFERENCE_EXAMPLE)
+
+
+@pytest.fixture(scope="session")
+def two_tetra_scene(tmp_path_factory):
+    """Two tetra instances + two lights — the minimal scene for per-frame
+    SceneDiff tests (object AND light motion)."""
+    d = tmp_path_factory.mktemp("two_tetra")
+    make_tetra_obj(str(d / "tetra.obj"))
+    p = d / "scene.json"
+    p.write_text(
+        '{"objs": ['
+        '{"model": "tetra.obj", "pos": {"x": 0, "y": 0, "z": 0}},'
+        '{"model": "tetra.obj", "pos": {"x": -1.6, "y": 0.4, "z": -0.8}}],'
+        '"lights": ['
+        '{"pos": {"x": 3, "y": 4, "z": 5}, "col": {"r": 255, "g": 255, "b": 255}},'
+        '{"pos": {"x": -4, "y": 2, "z": 3}, "col": {"r": 64, "g": 128, "b": 255}}],'
+        '"cam": {"pos": {"x": 0.4, "y": 1.0, "z": 4.2},'
+        '"dir": {"x": -0.1, "y": -0.25, "z": -1.0}, "fov": 1.0472}}')
+    return scene_mod.load_scene(str(p))

@@ -215,3 +215,22 @@ def test_fine_worklist_block_ids_in_range():
     # every real work item references an existing block
     ids = np.asarray(wl.block_ids)[: int(wl.count)]
     assert ids.size > 0 and ids.max() < nb
+
+
+def test_verify_loops_until_counts_fit(suzanne_scene, interpret):
+    """Freeze with a camera that sees almost nothing, then verify-render a
+    camera that sees everything: the level-1 bucket overflows, so the
+    level-2 counts of the first dispatch are undercounts — a single
+    refreeze is not provably sufficient. The verify loop must converge to
+    the exact sync-render image."""
+    w, h = 48, 36
+    r = CulledRenderer(suzanne_scene, w, h, interpret=interpret)
+    away = suzanne_scene.camera.yaw(3.14159)       # scene behind the camera
+    r.render(away, block=True)
+    r.freeze(away, margin=1.0)                     # tiny buckets
+    cam = suzanne_scene.camera
+    fast = np.asarray(r.render_fast(cam, verify=True))
+    sync = np.asarray(r.render(cam, block=True))
+    np.testing.assert_allclose(fast, sync, atol=2e-5)
+    # and the refrozen buckets now hold the true counts
+    assert all(g <= p for g, p in zip(r._last_counts, r._frozen_pads))

@@ -85,3 +85,28 @@ def test_halo_bvh_overflow_refreeze(tetra_scene, mesh8):
     # After verify the recorded counts fit the (possibly re-sized) buckets.
     assert int(r.last_counts[:, 0].max()) <= r.w_pad
     assert int(r.last_counts[:, 1].max()) <= r.w_pad_sh
+
+
+def test_halo_bvh_dynamic_diff(two_tetra_scene, mesh8):
+    """Per-frame SceneDiff on the geometry-sharded halo path: move an
+    object and a light each frame; the sharded image must match a dense
+    render of a from-scratch re-bake (environment.go:73-98 — every worker
+    applies every diff, whatever the topology)."""
+    import copy
+
+    scene = two_tetra_scene
+    w, h = 96, 64
+    r = halo_bvh.HaloCulledRenderer(scene, w, h, mesh=mesh8,
+                                    interpret=True, dynamic=True,
+                                    margin=4.0)
+    for k in range(2):
+        moved = copy.deepcopy(scene)
+        moved.set_object_pos(2, [-1.6 + 0.5 * (k + 1), 0.4, -0.8 - 0.3 * k])
+        moved.light_pos = moved.light_pos.copy()
+        moved.light_pos[0] = [3 - 1.2 * k, 4, 5 + 0.8 * k]
+        want = np.asarray(render_frame(
+            jax.device_put(moved.bake()), scene.camera.to_arrays(), w, h))
+        got = np.asarray(r.render_dynamic(scene.camera, moved.make_diff(),
+                                          verify=True))
+        bad = (np.abs(got - want).max(-1) > 2 / 255).mean()
+        assert bad < 0.005, f"frame {k}: {bad:.4f} mismatched"

@@ -56,3 +56,28 @@ def test_ring_bvh_equals_halo_bvh(suzanne_scene, mesh8):
     a = hr.render(big.camera, verify=True)
     b = rr.render(big.camera, verify=True)
     np.testing.assert_array_equal(a, b)
+
+
+def test_ring_bvh_dynamic_diff(two_tetra_scene, mesh8):
+    """Per-frame SceneDiff on the ring schedule: the diff folds into each
+    shard BEFORE rotation, so every step streams updated geometry."""
+    import copy
+
+    from distributed_raytracer_tpu.models.scene import SceneDiff
+    from distributed_raytracer_tpu.ops.render import render_frame
+
+    scene = two_tetra_scene
+    w, h = 96, 64
+    r = ring_bvh.RingCulledRenderer(scene, w, h, mesh=mesh8,
+                                    interpret=True, dynamic=True,
+                                    margin=4.0)
+    moved = copy.deepcopy(scene)
+    moved.set_object_pos(2, [-0.9, 0.4, -1.2])
+    moved.light_pos = moved.light_pos.copy()
+    moved.light_pos[0] = [1.5, 4.5, 5.5]
+    want = np.asarray(render_frame(
+        jax.device_put(moved.bake()), scene.camera.to_arrays(), w, h))
+    got = np.asarray(r.render_dynamic(scene.camera, moved.make_diff(),
+                                      verify=True))
+    bad = (np.abs(got - want).max(-1) > 2 / 255).mean()
+    assert bad < 0.005, f"{bad:.4f} mismatched"

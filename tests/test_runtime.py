@@ -268,3 +268,87 @@ def test_loop_aborts_on_permanent_failure(tetra_scene):
         arrays, tetra_scene.camera, dead_render, 32, 24,
         events=events, cfg=cfg)
     assert dropped == 5             # stopped at the abort threshold
+
+
+def test_loop_recovers_after_drop_run(tetra_scene):
+    """Dispatch fails repeatedly, the recover hook rebuilds the render
+    path, and the stream RESUMES — dropped-then-resumed frames, not an
+    abort (worker/distributed/main.go:160-185's heal loop, at the process
+    level). Stats record the successful recovery."""
+    import dataclasses
+
+    from distributed_raytracer_tpu.utils.config import DEFAULT_CONFIG
+
+    arrays = tetra_scene.bake()
+
+    def dead_render(scene, cam_arrays):
+        raise RuntimeError("device gone")
+
+    def good_render(scene, cam_arrays):
+        return np.zeros((4, 4, 3), dtype=np.float32)
+
+    attempts = []
+
+    def recover(attempt):
+        attempts.append(attempt)
+        return good_render
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_consecutive_drops=4)
+    events = [[("key_down", "w")]] + [[]] * 19
+    cam, stats, dropped = run_loop(
+        arrays, tetra_scene.camera, dead_render, 32, 24,
+        events=events, cfg=cfg, recover=recover)
+    assert attempts == [1]          # one rebuild, called once
+    assert dropped == 4             # the pre-recovery drop run
+    assert stats.frames_drawn == 20 - 4
+    assert stats.recoveries == 1
+
+
+def test_loop_aborts_when_recovery_fails(tetra_scene):
+    """Recovery that cannot heal (hook raises) must not loop forever."""
+    import dataclasses
+
+    from distributed_raytracer_tpu.utils.config import DEFAULT_CONFIG
+
+    arrays = tetra_scene.bake()
+
+    def dead_render(scene, cam_arrays):
+        raise RuntimeError("device gone")
+
+    def bad_recover(attempt):
+        raise RuntimeError("rebuild also failed")
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_consecutive_drops=3)
+    events = [[("key_down", "w")]] + [[]] * 99
+    cam, stats, dropped = run_loop(
+        arrays, tetra_scene.camera, dead_render, 32, 24,
+        events=events, cfg=cfg, recover=bad_recover)
+    assert dropped == 3             # stopped at the first failed recovery
+
+
+def test_loop_exhausts_recovery_budget(tetra_scene):
+    """A render path that keeps dying consumes cfg.max_recoveries rebuilds
+    and then aborts."""
+    import dataclasses
+
+    from distributed_raytracer_tpu.utils.config import DEFAULT_CONFIG
+
+    arrays = tetra_scene.bake()
+
+    def dead_render(scene, cam_arrays):
+        raise RuntimeError("device gone")
+
+    attempts = []
+
+    def recover(attempt):
+        attempts.append(attempt)
+        return dead_render          # "healed" path dies again
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_consecutive_drops=2,
+                              max_recoveries=2)
+    events = [[("key_down", "w")]] + [[]] * 99
+    cam, stats, dropped = run_loop(
+        arrays, tetra_scene.camera, dead_render, 32, 24,
+        events=events, cfg=cfg, recover=recover)
+    assert attempts == [1, 2]
+    assert dropped == 6             # 3 drop runs of max_consecutive_drops=2
