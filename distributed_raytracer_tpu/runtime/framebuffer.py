@@ -21,13 +21,22 @@ def to_u8(img) -> np.ndarray:
 
 
 def to_u8_device(img):
-    """to_u8 ON DEVICE (jittable): the display loop converts before the
+    """to_u8 ON DEVICE (jitted): the display loop converts before the
     device->host transfer, so the wire carries 1 byte/channel instead of a
     float32 — the same truncating conversion the display needs anyway
     (colour.go:59-61). 4x less host-link traffic per displayed frame."""
-    import jax.numpy as jnp
+    import jax
 
-    return (255.0 * jnp.clip(img, 0.0, 1.0)).astype(jnp.uint8)
+    global _to_u8_jit
+    if _to_u8_jit is None:
+        import jax.numpy as jnp
+
+        _to_u8_jit = jax.jit(
+            lambda x: (255.0 * jnp.clip(x, 0.0, 1.0)).astype(jnp.uint8))
+    return _to_u8_jit(img)
+
+
+_to_u8_jit = None
 
 
 def write_ppm(path: str, img) -> None:
