@@ -78,16 +78,20 @@ class CulledRenderer:
                  cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
                  interpret: bool = False, prebaked=None,
-                 exit_every: int = 0, cull_group: int = 16,
+                 exit_every: Optional[int] = None, cull_group: int = 16,
                  use_mxu: bool = False):
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
         # Amortized front-to-back early exit (bsr_trace kernels): refresh
         # the per-tile SMEM bound every `exit_every` work items; 0 = off.
-        # Default 0: measured as a small loss on every bench config
-        # (round-2 verdict weak #6) — groundwork kept behind the flag.
-        self.exit_every = exit_every
+        # None = AUTO: decided from the first sizing render's measured work
+        # density (fine cells per ray tile). The exit only pays when tiles
+        # traverse long block runs — measured on v5e: -11% frame time at
+        # config 5 (117 cells/tile) but +4% at configs 1/3 (<25
+        # cells/tile), so the threshold sits between.
+        self._exit_auto = exit_every is None
+        self.exit_every = 0 if exit_every is None else exit_every
         # Kernel family for the shared-origin launches: False = all-VPU
         # pack_tris_origin columns (the round-1 configuration), True = MXU
         # direction-matrix offload. The MXU variant measured SLOWER on real
@@ -448,7 +452,10 @@ class CulledRenderer:
             c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
                                           mask1, entry1, c1)
             w_pad = _bucket(int(c2))
-            sb = jit_for(self._stage_b_cache, ("bounce", w1_pad, w_pad),
+            if b == 0:
+                self._resolve_exit(int(c2))
+            sb = jit_for(self._stage_b_cache,
+                         ("bounce", w1_pad, w_pad, self.exit_every),
                          self._stage_bounce_fn, w1_pad, w_pad)
             (hits, prep, live_l, sti, smasks, sentries, sc1, _,
              r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1) = sb(
@@ -462,7 +469,8 @@ class CulledRenderer:
             pads_used.append((w1_pad, w_pad, w1_pad_sh, w_pad_sh))
             counts_used.append((int(c1), int(c2), int(sc1), int(sc2)))
             sc = jit_for(self._stage_c_cache,
-                         ("shade", b > 0, w1_pad_sh, w_pad_sh),
+                         ("shade", b > 0, w1_pad_sh, w_pad_sh,
+                          self.exit_every),
                          self._stage_shade_fn, w1_pad_sh, w_pad_sh)
             local, _ = sc(self.arrays, self.tris_dirs, self.lights_scal,
                           self.block_lo, self.block_hi, view, hits, prep,
@@ -571,6 +579,19 @@ class CulledRenderer:
 
     # -- public ----------------------------------------------------------
 
+    # Auto early-exit threshold: average fine cells per ray tile above
+    # which the amortized front-to-back exit pays for its scalar-core
+    # bound refreshes (measured crossover on v5e between ~25 and ~117).
+    _EXIT_DENSITY = 48
+    _EXIT_STEP = 32
+
+    def _resolve_exit(self, c2: int) -> None:
+        """Pick exit_every from the measured primary work density (only in
+        auto mode, and before any stage jit for this render is built)."""
+        if self._exit_auto:
+            dense = c2 / max(self.n_tiles, 1) >= self._EXIT_DENSITY
+            self.exit_every = self._EXIT_STEP if dense else 0
+
     def render(self, camera, block: bool = False):
         """Render a frame; returns a device array (H, W, 3) float32."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
@@ -580,11 +601,13 @@ class CulledRenderer:
         c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
                                       mask1, entry1, c1)
         w_pad = _bucket(int(c2))
+        self._resolve_exit(int(c2))
 
-        key = (w1_pad, w_pad)
+        key = (w1_pad, w_pad, self.exit_every)
         stage_b = self._stage_b_cache.get(key)
         if stage_b is None:
-            stage_b = jax.jit(functools.partial(self._stage_b_fn, *key))
+            stage_b = jax.jit(functools.partial(self._stage_b_fn, w1_pad,
+                                                w_pad))
             self._stage_b_cache[key] = stage_b
         hits, prep, live_l, sti, smasks, sentries, sc1, _ = stage_b(
             self.arrays, self.tris_packed, self.tris_dirs, self.shade_tbl,
@@ -594,10 +617,11 @@ class CulledRenderer:
         sc2 = self._count_fine(w1_pad_sh)(self.block_lo, self.block_hi,
                                           sti, smasks, sentries, sc1)
         w_pad_sh = _bucket(int(sc2))
-        ckey = (w1_pad_sh, w_pad_sh)
+        ckey = (w1_pad_sh, w_pad_sh, self.exit_every)
         stage_c = self._stage_c_cache.get(ckey)
         if stage_c is None:
-            stage_c = jax.jit(functools.partial(self._stage_c_fn, *ckey))
+            stage_c = jax.jit(functools.partial(self._stage_c_fn, w1_pad_sh,
+                                                w_pad_sh))
             self._stage_c_cache[ckey] = stage_c
         img, _ = stage_c(self.arrays, self.tris_dirs, self.lights_scal,
                          self.block_lo, self.block_hi, cam, hits, prep,
