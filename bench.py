@@ -100,7 +100,8 @@ def _culled_extras(extras, key, renderer, seconds, w, h):
 
     if renderer._last_counts is None:
         return
-    _, count, _, scount = renderer._last_counts   # fine-level cells
+    lc = renderer._last_counts       # (c1, c2, hit_tiles, sc1, sc2)
+    count, scount = lc[1], lc[-1]    # fine-level cells
     work = profiling.FrameWork(
         primary_cells=int(count), shadow_cells=int(scount),
         rays=w * h, ray_tile=renderer.rt, tri_block=renderer.tb,

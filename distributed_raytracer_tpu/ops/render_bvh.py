@@ -57,6 +57,12 @@ def _next_pow2(n: int) -> int:
 _bucket = bsr_trace.bucket_w_pad
 
 
+def _tile_bucket(n: int, n_tiles: int) -> int:
+    """Capacity for the compacted hit-TILE set: pow2, floor 8, capped at
+    the full tile count (cap = no compaction, overflow impossible)."""
+    return min(n_tiles, max(8, 1 << max(0, int(n - 1).bit_length())))
+
+
 def _slim_arrays(arrays: SceneArrays) -> SceneArrays:
     """Strip the per-triangle fields the culled pipeline never reads before
     the device transfer. Only shapes survive ((T, 0) placeholders keep
@@ -262,6 +268,7 @@ class CulledRenderer:
         (cull.tile_intervals_packed live=) so they never widen the work
         lists."""
         n_lights = prep.q.shape[0]
+        nt = prep.q_rev.shape[2] // self.rt if n_lights else 0
         tis, smasks, sentries = [], [], []
         for li in range(n_lights):
             ti = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
@@ -276,15 +283,16 @@ class CulledRenderer:
             empty_ti = cull.TileIntervals(
                 *(jnp.zeros((0, 3), jnp.float32),) * 4,
                 t_hi=jnp.zeros((0,), jnp.float32))
-            return (empty_ti, jnp.zeros((0, self.n_tiles, nsb), bool),
-                    jnp.zeros((0, self.n_tiles, nsb), jnp.float32))
+            return (empty_ti, jnp.zeros((0, nt, nsb), bool),
+                    jnp.zeros((0, nt, nsb), jnp.float32))
         sti = cull.TileIntervals(*(jnp.concatenate(
             [getattr(t, f) for t in tis]) for f in cull.TileIntervals._fields))
         return sti, jnp.stack(smasks), jnp.stack(sentries)
 
-    def _stage_b_fn(self, w1_pad: int, w_pad: int, scene: SceneArrays,
-                    tris_packed, tris_dirs, shade_tbl, block_lo, block_hi,
-                    rays, ti, mask1, entry1, c1):
+    def _stage_b1_fn(self, w1_pad: int, w_pad: int, scene: SceneArrays,
+                     tris_packed, tris_dirs, block_lo, block_hi,
+                     rays, ti, mask1, entry1, c1):
+        """Primary nearest hit only. Returns (hits, hcount, c2)."""
         no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
         # Primary rays share the camera origin (rays rows 0..2 are a
         # broadcast of cam.pos): fold it into the per-triangle columns each
@@ -299,12 +307,57 @@ class CulledRenderer:
                                  tris_cam, rays, no_excl,
                                  block_lo, block_hi, ti, mask1, entry1, c1,
                                  shared_origin=True)
-        prep = shade.prepare_packed(scene, rays, hits, self.cfg,
+        n_tiles = hits.valid.shape[0] // self.rt
+        ht = hits.valid.reshape(n_tiles, self.rt).any(axis=1).sum()
+        return hits, ht.astype(jnp.int32), c2
+
+    def _stage_b2_fn(self, ht_pad: int, scene: SceneArrays, shade_tbl,
+                     block_lo, block_hi, rays, hits):
+        """Hit-TILE compaction + shading prep + per-light shadow masks.
+
+        Everything downstream of the nearest kernel is proportional to the
+        hit count, not the ray count — at 640x480 on the example scene
+        only ~8% of rays hit, and the uncompacted prep/fetch/shadow work
+        over all rays was ~60% of the frame. Compaction is at RAY-TILE
+        granularity (512 rays): per-ELEMENT compaction needs 300K-element
+        gathers/scatters/searchsorted, all of which lower to serial
+        scalar-core loops on TPU (measured 0.17-3.3 ms); tile-granular
+        gathers move contiguous (8, 512) chunks with vector DMA and the
+        index math runs on a few-hundred-element array. Tiles are already
+        the pipeline's currency, so spatial coherence is preserved
+        exactly.
+
+        Returns (tpos, hit_tile, hits_h, prep, live_l, sti, smasks,
+        sentries, sc1, ht_count); `tpos`/`hit_tile` drive the gather-based
+        write-back in stage C. ht_pad is capped at n_tiles by the callers,
+        so overflow is impossible when every tile hits.
+        """
+        nt, rt = self.n_tiles, self.rt
+        hit = hits.valid
+        hit_t = hit.reshape(nt, rt)
+        hit_tile = hit_t.any(axis=1)                            # (nt,)
+        # Order-preserving tile compaction: a stable argsort of ~600 bools
+        # (trivial) instead of any large scatter/search.
+        tidx = jnp.argsort(~hit_tile, stable=True)[:ht_pad].astype(jnp.int32)
+        ht_count = hit_tile.sum().astype(jnp.int32)
+        tile_ok = jnp.arange(ht_pad, dtype=jnp.int32) < ht_count
+        tpos = jnp.cumsum(hit_tile.astype(jnp.int32)) - 1       # (nt,)
+
+        h = ht_pad * rt
+        rays_h = rays.reshape(8, nt, rt)[:, tidx, :].reshape(8, h)
+        valid_h = (hit_t[tidx] & tile_ok[:, None]).reshape(h)
+        t_h = jnp.where(valid_h,
+                        hits.t.reshape(nt, rt)[tidx].reshape(h), 0.0)
+        tri_h = jnp.where(valid_h,
+                          hits.tri.reshape(nt, rt)[tidx].reshape(h), 0)
+        hits_h = intersect.Hits(t=t_h, tri=tri_h, valid=valid_h)
+        prep = shade.prepare_packed(scene, rays_h, hits_h, self.cfg,
                                     table=shade_tbl)
-        live_l = shade.light_gates(scene, rays[0:3, 0], prep, hits.valid)
+        live_l = shade.light_gates(scene, rays[0:3, 0], prep, valid_h)
         sti, smasks, sentries = self._light_masks(prep, live_l,
                                                   block_lo, block_hi)
-        return hits, prep, live_l, sti, smasks, sentries, smasks.sum(), c2
+        return (tpos, hit_tile, hits_h, prep, live_l, sti, smasks,
+                sentries, smasks.sum(), ht_count)
 
     # -- stage C: shadow queries + shading -------------------------------
 
@@ -319,21 +372,23 @@ class CulledRenderer:
         so fully-occluded tiles early-exit on live rays alone.
         Returns (lit (L, n_pad) bool, sc2)."""
         n_lights = prep.q.shape[0]
+        r = prep.q_rev.shape[2] if n_lights else self.n_pad
         if n_lights == 0:
-            return jnp.zeros((0, self.n_pad), bool), jnp.int32(0)
+            return jnp.zeros((0, r), bool), jnp.int32(0)
+        n_tiles = r // self.rt
         nb = block_lo.shape[0]
         n_tris = nb * self.tb
-        mask = smasks.reshape(n_lights * self.n_tiles, -1)
-        entry = sentries.reshape(n_lights * self.n_tiles, -1)
+        mask = smasks.reshape(n_lights * n_tiles, -1)
+        entry = sentries.reshape(n_lights * n_tiles, -1)
         wl, sc2 = cull.fine_worklist(sti, mask, entry, sc1, block_lo,
                                      block_hi, self.cull_group, w1_pad_sh,
                                      w_pad_sh)
-        q = prep.q_rev.transpose(1, 0, 2).reshape(8, n_lights * self.n_pad)
+        q = prep.q_rev.transpose(1, 0, 2).reshape(8, n_lights * r)
         # Each light's rays share its origin; the per-light origin-folded
         # scalar rows sit at block offset light*nb (row light*T). The MXU
         # direction matrix is origin-independent and shared by all lights
         # (ablock_ids indexes it without the light offset).
-        light_of = wl.tile_ids // self.n_tiles
+        light_of = wl.tile_ids // n_tiles
         block_ids = light_of * nb + wl.block_ids
         excl = (hits.tri[None, :]
                 + (jnp.arange(n_lights, dtype=jnp.int32) * n_tris)[:, None]
@@ -349,20 +404,31 @@ class CulledRenderer:
             rt=self.rt, tb=self.tb,
             w_pad=w_pad_sh, interpret=self.interpret, shared_origin=True,
             exit_every=self.exit_every)
-        hit = hit.reshape(n_lights, self.n_pad)
-        visited = cull.visited_tiles(wl, n_lights * self.n_tiles)
-        visited = jnp.repeat(visited.reshape(n_lights, self.n_tiles),
+        hit = hit.reshape(n_lights, r)
+        visited = cull.visited_tiles(wl, n_lights * n_tiles)
+        visited = jnp.repeat(visited.reshape(n_lights, n_tiles),
                              self.rt, axis=1)
         return jnp.where(visited, hit == 0, True), sc2
 
     def _stage_c_fn(self, w1_pad_sh: int, w_pad_sh: int, scene: SceneArrays,
                     tris_dirs, lights_scal, block_lo, block_hi,
-                    cam: CameraArrays, hits, prep, live_l, sti, smasks,
-                    sentries, sc1):
+                    cam: CameraArrays, tpos, hit_tile, hits_h, prep, live_l,
+                    sti, smasks, sentries, sc1):
+        """Shadow queries + Phong on the COMPACTED tile set, written back
+        by a tile-granular GATHER (per-element scatters serialize on
+        TPU): output tile j reads compact tile tpos[j] if it had any hit,
+        else black."""
         lit, sc2 = self._lit(w1_pad_sh, w_pad_sh, tris_dirs, lights_scal,
-                             block_lo, block_hi, prep, hits, live_l, sti,
+                             block_lo, block_hi, prep, hits_h, live_l, sti,
                              smasks, sentries, sc1)
-        colours = shade.shade_core_packed(scene, cam.pos, prep, hits, lit)
+        colours_h = shade.shade_core_packed(scene, cam.pos, prep, hits_h,
+                                            lit)                 # (3, H)
+        rt = self.rt
+        ht_pad = colours_h.shape[1] // rt
+        src_t = jnp.clip(tpos, 0, ht_pad - 1)
+        cols = colours_h.reshape(3, ht_pad, rt)[:, src_t, :]   # (3, nt, rt)
+        colours = jnp.where(hit_tile[None, :, None], cols,
+                            0.0).reshape(3, self.n_pad)
         return self._assemble(colours), sc2
 
     # -- multi-bounce stages ---------------------------------------------
@@ -604,29 +670,40 @@ class CulledRenderer:
         self._resolve_exit(int(c2))
 
         key = (w1_pad, w_pad, self.exit_every)
-        stage_b = self._stage_b_cache.get(key)
-        if stage_b is None:
-            stage_b = jax.jit(functools.partial(self._stage_b_fn, w1_pad,
-                                                w_pad))
-            self._stage_b_cache[key] = stage_b
-        hits, prep, live_l, sti, smasks, sentries, sc1, _ = stage_b(
-            self.arrays, self.tris_packed, self.tris_dirs, self.shade_tbl,
+        stage_b1 = self._stage_b_cache.get(key)
+        if stage_b1 is None:
+            stage_b1 = jax.jit(functools.partial(self._stage_b1_fn, w1_pad,
+                                                 w_pad))
+            self._stage_b_cache[key] = stage_b1
+        hits, hcount, _ = stage_b1(
+            self.arrays, self.tris_packed, self.tris_dirs,
             self.block_lo, self.block_hi, rays, ti, mask1, entry1, c1)
+
+        ht_pad = _tile_bucket(int(hcount), self.n_tiles)
+        bkey = ("b2", ht_pad)
+        stage_b2 = self._stage_b_cache.get(bkey)
+        if stage_b2 is None:
+            stage_b2 = jax.jit(functools.partial(self._stage_b2_fn, ht_pad))
+            self._stage_b_cache[bkey] = stage_b2
+        (tpos, hit_tile, hits_h, prep, live_l, sti, smasks, sentries,
+         sc1, ht_count) = stage_b2(self.arrays, self.shade_tbl,
+                                   self.block_lo, self.block_hi, rays, hits)
 
         w1_pad_sh = _bucket(int(sc1))
         sc2 = self._count_fine(w1_pad_sh)(self.block_lo, self.block_hi,
                                           sti, smasks, sentries, sc1)
         w_pad_sh = _bucket(int(sc2))
-        ckey = (w1_pad_sh, w_pad_sh, self.exit_every)
+        ckey = (w1_pad_sh, w_pad_sh, ht_pad, self.exit_every)
         stage_c = self._stage_c_cache.get(ckey)
         if stage_c is None:
             stage_c = jax.jit(functools.partial(self._stage_c_fn, w1_pad_sh,
                                                 w_pad_sh))
             self._stage_c_cache[ckey] = stage_c
         img, _ = stage_c(self.arrays, self.tris_dirs, self.lights_scal,
-                         self.block_lo, self.block_hi, cam, hits, prep,
-                         live_l, sti, smasks, sentries, sc1)
-        self._last_counts = (int(c1), int(c2), int(sc1), int(sc2))
+                         self.block_lo, self.block_hi, cam, tpos, hit_tile,
+                         hits_h, prep, live_l, sti, smasks, sentries, sc1)
+        self._last_counts = (int(c1), int(c2), int(ht_count), int(sc1),
+                             int(sc2))
         if block:
             jax.block_until_ready(img)
         return img
@@ -641,20 +718,23 @@ class CulledRenderer:
     # should be used periodically / during warmup to confirm margins hold;
     # on overflow freeze() is simply called again with the new counts.
 
-    def _full_fn(self, w1_pad: int, w_pad: int, w1_pad_sh: int,
+    def _full_fn(self, w1_pad: int, w_pad: int, h_pad: int, w1_pad_sh: int,
                  w_pad_sh: int, scene: SceneArrays,
                  tris_packed, tris_dirs, lights_scal, shade_tbl, block_lo,
                  block_hi, perm, cam: CameraArrays):
         rays, ti, mask1, entry1, c1 = self._stage_a_fn(cam, perm, block_lo,
                                                        block_hi)
-        hits, prep, live_l, sti, smasks, sentries, sc1, c2 = \
-            self._stage_b_fn(
-                w1_pad, w_pad, scene, tris_packed, tris_dirs, shade_tbl,
-                block_lo, block_hi, rays, ti, mask1, entry1, c1)
+        hits, hcount, c2 = self._stage_b1_fn(
+            w1_pad, w_pad, scene, tris_packed, tris_dirs,
+            block_lo, block_hi, rays, ti, mask1, entry1, c1)
+        (tpos, hit_tile, hits_h, prep, live_l, sti, smasks, sentries,
+         sc1, ht_count) = self._stage_b2_fn(h_pad, scene, shade_tbl,
+                                            block_lo, block_hi, rays, hits)
         img, sc2 = self._stage_c_fn(
             w1_pad_sh, w_pad_sh, scene, tris_dirs, lights_scal, block_lo,
-            block_hi, cam, hits, prep, live_l, sti, smasks, sentries, sc1)
-        counts = jnp.stack([c1, c2, sc1, sc2]).astype(jnp.int32)
+            block_hi, cam, tpos, hit_tile, hits_h, prep, live_l, sti,
+            smasks, sentries, sc1)
+        counts = jnp.stack([c1, c2, ht_count, sc1, sc2]).astype(jnp.int32)
         return img, counts
 
     def freeze(self, camera=None, margin: float = 1.4) -> None:
@@ -665,6 +745,12 @@ class CulledRenderer:
                 raise ValueError("freeze() needs a camera for the sizing render")
             self.render(camera, block=True)
         pads = tuple(_bucket(c, margin) for c in self._last_counts)
+        # Slot 2 is the hit-TILE bucket (its own small granularity, capped
+        # at n_tiles so overflow is structurally impossible at the cap).
+        pads = (pads[:2]
+                + (_tile_bucket(int(self._last_counts[2] * margin),
+                                self.n_tiles),)
+                + pads[3:])
         self._fused = jax.jit(functools.partial(self._full_fn, *pads))
         self._frozen_pads = pads
 

@@ -35,7 +35,8 @@ except AttributeError:  # pragma: no cover
 
 from distributed_raytracer_tpu.models.camera import Camera, CameraArrays
 from distributed_raytracer_tpu.models.scene import Scene
-from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer, _bucket
+from distributed_raytracer_tpu.ops.render_bvh import (CulledRenderer,
+                                                      _bucket, _tile_bucket)
 from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
 
 AXIS = "bands"
@@ -147,8 +148,14 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
         return b._last_counts               # (c1, c2, sc1, sc2)
 
     counts = size_bands(measure)
-    buckets = {"pads": tuple(_bucket(max(c[k] for c in counts), margin)
-                             for k in range(4))}
+    n_counts = len(counts[0])          # (c1, c2, hit_tiles, sc1, sc2)
+    pads0 = tuple(_bucket(max(c[k] for c in counts), margin)
+                  for k in range(n_counts))
+    # slot 2 is the band's hit-TILE bucket (capped at the band tile count)
+    ht = max(c[2] for c in counts)
+    buckets = {"pads": pads0[:2]
+               + (_tile_bucket(int(ht * margin), band.n_tiles),)
+               + pads0[3:]}
 
     def make_fn(pads):
         def shard_fn(scene_arrays, tris_packed, tris_dirs, lights_scal,
@@ -158,16 +165,19 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
             img, counts = band._full_fn(
                 *pads, scene_arrays, tris_packed, tris_dirs,
                 lights_scal, shade_tbl, block_lo, block_hi, my_perm, cam)
-            return img, counts[None]            # (h_band, W, 3), (1, 4)
+            return img, counts[None]            # (h_band, W, 3), (1, n_counts)
         return shard_fn
 
-    def refreeze(got):                          # got: (n, 4)
+    def refreeze(got):                          # got: (n, n_counts)
         worst = got.max(axis=0)
-        if all(int(worst[k]) <= buckets["pads"][k] for k in range(4)):
+        if all(int(worst[k]) <= buckets["pads"][k]
+               for k in range(n_counts)):
             return None
-        buckets["pads"] = tuple(
-            max(p, _bucket(int(w), margin))
-            for p, w in zip(buckets["pads"], worst))
+        new = [max(p, _bucket(int(w), margin))
+               for p, w in zip(buckets["pads"], worst)]
+        new[2] = max(buckets["pads"][2],
+                     _tile_bucket(int(worst[2] * margin), band.n_tiles))
+        buckets["pads"] = tuple(new)
         return make_fn(buckets["pads"])
 
     render = _finish(mesh, n, h_band, band,
