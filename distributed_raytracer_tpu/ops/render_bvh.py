@@ -121,6 +121,9 @@ class CulledRenderer:
         # services cache the bundle on disk (bench.py config 5).
         if prebaked is not None:
             arrays, tree = prebaked
+            # The bundle's leaf size is baked in; the block_size argument
+            # cannot re-block a prebaked tree, so derive from it.
+            self.tb = block_size = int(tree.block_size)
         else:
             arrays, tree = self._bake_scene(scene, block_size)
         # Packing happens on the HOST and only the packed forms ship:

@@ -56,7 +56,11 @@ class RenderConfig:
 
     # TPU-specific tunables (no reference equivalent).
     ray_chunk: int = 8192          # rays per lax.map chunk in the dense path
-    tri_block: int = 512           # triangle block size for BVH leaf blocks
+    # BVH leaf block size lives on CulledRenderer(block_size=128): it sets
+    # kernel shapes, so it is a per-renderer compile-time choice, not a
+    # runtime config value. (Measured on v5e config 3: block_size=64
+    # schedules 25% fewer pairs and renders 10% faster; 128 remains the
+    # default pending config-1/5 measurements.)
     dtype: str = "float32"         # device compute dtype
 
 
