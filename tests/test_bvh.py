@@ -234,3 +234,19 @@ def test_verify_loops_until_counts_fit(suzanne_scene, interpret):
     np.testing.assert_allclose(fast, sync, atol=2e-5)
     # and the refrozen buckets now hold the true counts
     assert all(g <= p for g, p in zip(r._last_counts, r._frozen_pads))
+
+
+def test_auto_exit_every_density_decision(suzanne_scene):
+    """exit_every=None resolves from measured work density: sparse scenes
+    keep it off (bound refreshes cost more than they save), dense ones
+    turn it on (measured -11% at config-5 density on v5e)."""
+    r = CulledRenderer(suzanne_scene, 48, 36, interpret=True)
+    assert r._exit_auto and r.exit_every == 0
+    r._resolve_exit(r.n_tiles * r._EXIT_DENSITY)        # at threshold
+    assert r.exit_every == r._EXIT_STEP
+    r._resolve_exit(r.n_tiles * (r._EXIT_DENSITY - 1))  # below
+    assert r.exit_every == 0
+    # explicit values are never overridden
+    r2 = CulledRenderer(suzanne_scene, 48, 36, interpret=True, exit_every=8)
+    r2._resolve_exit(10 ** 9)
+    assert r2.exit_every == 8
