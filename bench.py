@@ -9,12 +9,15 @@ and block-sparse paths. Baseline: the reference's best published
 throughput — 25.16 FPS at 320x240 (final_report.pdf §3.2) = 1.93 M primary
 rays/s aggregate over 96 vCPUs (BASELINE.md "Derived").
 
-Process isolation: the headline runs in THIS process; every extra config
-runs in a CHILD process with its own TPU client (`python bench.py
---config N`). Round 2 lost three good configs because the first crash
-wedged the shared TPU client and poisoned everything after it — with
-isolation one crash costs exactly one data point. Each child prints a
-single JSON object of extras on its last stdout line; the parent merges.
+Process isolation: the headline runs in THIS process; extra configs run
+in CHILD processes with their own TPU clients (`python bench.py
+--config 5` / `--config 3,loop,2,4`). Round 2 lost three good configs
+because the first crash wedged the shared TPU client and poisoned
+everything after it. Config 5 (the historic crasher) is isolated alone;
+the low-risk configs share one child (per-config try/except inside) so
+the ~30 s per-process jax init through the tunnel is paid once. Each
+child prints one JSON object of extras on its last stdout line (also on
+SIGTERM); the parent merges.
 
 Configs, in priority order after the headline: config 5 (5.2M-tri
 icosphere — the block-partitioned north star), config 3 (62K-tri
@@ -33,7 +36,7 @@ speed-of-light (utils/profiling.py ROOFLINE docstring for the derivation).
 Robustness: a cold persistent-compilation cache can cost minutes per
 config on this TPU setup (compiles go through a serialized remote helper).
 The harness (a) computes the headline config first, (b) checks a
-wall-clock budget (BENCH_BUDGET_S, default 420s) before starting each
+wall-clock budget (BENCH_BUDGET_S, default 540s) before starting each
 extra config, and (c) on SIGTERM/SIGINT prints whatever it has measured so
 far before dying — the driver always gets its JSON line.
 """
@@ -49,7 +52,7 @@ import numpy as np
 
 BASELINE_MRAYS = 1.93  # reference aggregate primary rays/s (96 vCPUs)
 T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 _result = None          # best-so-far JSON dict, printed on early termination
@@ -262,23 +265,30 @@ def config_loop():
 CONFIGS = {
     "5": (config5, 150),
     "3": (config3, 60),
-    # `loop` before configs 2/4: it reuses config 1's compiled pipeline
-    # (cheap) and its FPS/drop numbers have never been published, while
-    # 2 and 4 have standing round-1 numbers to fall back on.
     "loop": (config_loop, 45),
     "2": (config2, 60),
     "4": (config4, 60),
 }
 
+# Child grouping: config 5 runs alone (the historic crasher — isolation is
+# FOR it), the low-risk configs share one child so the ~30 s per-process
+# jax init through the tunnel is paid once, not four times. Inside the
+# group each config still runs under its own try/except, so one failure
+# costs one data point, and the child emits whatever it measured on
+# SIGTERM.
+CHILD_GROUPS = (("5",), ("3", "loop", "2", "4"))
+
 
 def _run_child(name: str, extras: dict, budget: float):
     """Run one extra config in a subprocess with a fresh TPU client; merge
     its last-stdout-line JSON into extras. One crash = one data point."""
+    t0 = time.monotonic()
     try:
+        env = dict(os.environ, BENCH_BUDGET_S=str(max(budget - 10, 30)))
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--config", name],
-            cwd=REPO, capture_output=True, text=True,
+            cwd=REPO, capture_output=True, text=True, env=env,
             timeout=max(budget, 30))
         lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
         if proc.returncode == 0 and lines:
@@ -290,6 +300,8 @@ def _run_child(name: str, extras: dict, budget: float):
         extras[f"config{name}_error"] = f"timeout after {budget:.0f}s"
     except Exception as e:
         extras[f"config{name}_error"] = repr(e)[:200]
+    if "," not in name:
+        extras[f"config{name}_wall_s"] = round(time.monotonic() - t0, 1)
 
 
 def main():
@@ -352,26 +364,43 @@ def main():
         extras["config1_dense_skipped"] = "budget"
     _result = headline(best_s)
 
-    # Extra configs, each in an isolated child process.
-    for name, (_, min_budget) in CONFIGS.items():
+    # Extra configs in isolated child processes (see CHILD_GROUPS).
+    for group in CHILD_GROUPS:
+        min_budget = CONFIGS[group[0]][1]
         if _budget_left() > min_budget:
-            _run_child(name, extras, _budget_left())
+            _run_child(",".join(group), extras, _budget_left())
         else:
-            extras[f"config{name}_skipped"] = "budget"
+            for name in group:
+                extras[f"config{name}_skipped"] = "budget"
         _result = headline(best_s)
 
     extras["bench_wall_s"] = round(time.monotonic() - T0, 1)
     _result = headline(best_s)
 
 
-def child_main(name: str):
-    """--config entry: run one config, print ONE JSON line of extras."""
+def child_main(spec: str):
+    """--config entry: run one or more (comma-separated) configs, print
+    ONE JSON line of merged extras. On SIGTERM, prints what it has."""
     _setup()
-    fn, _ = CONFIGS[name]
-    try:
-        extras = fn()
-    except Exception as e:
-        extras = {f"config{name}_error": repr(e)[:200]}
+    extras = {}
+
+    def emit_partial(signum, frame):
+        print(json.dumps(extras))
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, emit_partial)
+    for name in spec.split(","):
+        fn, min_budget = CONFIGS[name]
+        if _budget_left() < min_budget:
+            extras[f"config{name}_skipped"] = "budget"
+            continue
+        t0 = time.monotonic()
+        try:
+            extras.update(fn())
+        except Exception as e:
+            extras[f"config{name}_error"] = repr(e)[:200]
+        extras[f"config{name}_wall_s"] = round(time.monotonic() - t0, 1)
     print(json.dumps(extras))
     sys.stdout.flush()
 
