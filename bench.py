@@ -17,17 +17,23 @@ everything after it. Config 5 (the historic crasher) is isolated alone;
 the low-risk configs share one child (per-config try/except inside) so
 the ~30 s per-process jax init through the tunnel is paid once. Each
 child prints one JSON object of extras on its last stdout line (also on
-SIGTERM); the parent merges.
+SIGTERM); the parent merges, and on timeout it SIGTERMs the child and
+waits briefly for that partial line before giving up.
 
-Configs, in priority order after the headline: config 5 (5.2M-tri
-icosphere — the block-partitioned north star), config 3 (62K-tri
-instancing), config 2 (1080p multi-bounce), config 4 (139K tris at 4K),
-then `loop` (the interactive frame loop + reference-exact FPS stats at
-640x480 — the reference's actual deliverable, master/main.go:240-325).
-Every config that does not run emits an explicit `configN_skipped` or
-`configN_error` marker — silent absence reads as "covered" when it wasn't.
-The camera orbits between frames (the reference's measurement motion), so
-per-frame state updates are exercised without recompilation.
+Config order after the headline: the CHEAP configs first — config 3
+(62K-tri instancing), `loop` (the interactive frame loop +
+reference-exact FPS stats at 640x480 — the reference's actual
+deliverable, master/main.go:240-325), config 2 (1080p multi-bounce),
+config 4 (139K tris at 4K) — then config 5 (5.2M-tri icosphere, the
+block-partitioned north star) LAST with whatever budget remains.
+Round 3 ran config 5 first and it consumed 457 s of the 540 s budget,
+starving the four cheap configs; the cheap group is therefore also
+CAPPED at (remaining - config 5's floor) so config 5 always keeps its
+minimum. Every config that does not run emits an explicit
+`configN_skipped` or `configN_error` marker — silent absence reads as
+"covered" when it wasn't. The camera orbits between frames (the
+reference's measurement motion), so per-frame state updates are
+exercised without recompilation.
 
 Work accounting: each block-sparse config also reports scheduled
 (ray, triangle) pair throughput and its fraction of the hardware-derived
@@ -271,33 +277,59 @@ CONFIGS = {
 }
 
 # Child grouping: config 5 runs alone (the historic crasher — isolation is
-# FOR it), the low-risk configs share one child so the ~30 s per-process
-# jax init through the tunnel is paid once, not four times. Inside the
-# group each config still runs under its own try/except, so one failure
-# costs one data point, and the child emits whatever it measured on
-# SIGTERM.
-CHILD_GROUPS = (("5",), ("3", "loop", "2", "4"))
+# FOR it) and LAST, so a blowout there can no longer starve the cheap
+# configs (it did exactly that in round 3). The low-risk configs share one
+# child so the ~30 s per-process jax init through the tunnel is paid once,
+# not four times. Inside the group each config still runs under its own
+# try/except, so one failure costs one data point, and the child emits
+# whatever it measured on SIGTERM.
+CHILD_GROUPS = (("3", "loop", "2", "4"), ("5",))
+# Floor reserved for config 5 when budgeting the groups before it.
+RESERVE_5 = CONFIGS["5"][1]
 
 
 def _run_child(name: str, extras: dict, budget: float):
     """Run one extra config in a subprocess with a fresh TPU client; merge
-    its last-stdout-line JSON into extras. One crash = one data point."""
+    its last-stdout-line JSON into extras. One crash = one data point.
+    On timeout the child gets SIGTERM (its handler prints the partial
+    extras it has measured) and a short grace period before SIGKILL."""
     t0 = time.monotonic()
     try:
         env = dict(os.environ, BENCH_BUDGET_S=str(max(budget - 10, 30)))
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--config", name],
-            cwd=REPO, capture_output=True, text=True, env=env,
-            timeout=max(budget, 30))
-        lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
-        if proc.returncode == 0 and lines:
-            extras.update(json.loads(lines[-1]))
-        else:
-            tail = (proc.stderr or proc.stdout or "").strip()[-300:]
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env)
+        timed_out = False
+        try:
+            stdout, stderr = proc.communicate(timeout=max(budget, 30))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            proc.terminate()                 # child prints partials on TERM
+            try:
+                stdout, stderr = proc.communicate(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                stdout, stderr = proc.communicate()
+        lines = [l for l in (stdout or "").strip().splitlines() if l.strip()]
+        got = {}
+        if lines:
+            try:
+                got = json.loads(lines[-1])
+                extras.update(got)
+            except ValueError:
+                pass
+        if timed_out:
+            for cfg in name.split(","):
+                if not any(k.startswith(f"config{cfg}_")
+                           or k.startswith("loop_") and cfg == "loop"
+                           for k in got):
+                    extras[f"config{cfg}_error"] = \
+                        f"timeout after {budget:.0f}s"
+        elif proc.returncode != 0 or not got:
+            tail = (stderr or stdout or "").strip()[-300:]
             extras[f"config{name}_error"] = f"rc={proc.returncode}: {tail}"
-    except subprocess.TimeoutExpired:
-        extras[f"config{name}_error"] = f"timeout after {budget:.0f}s"
     except Exception as e:
         extras[f"config{name}_error"] = repr(e)[:200]
     if "," not in name:
@@ -364,11 +396,15 @@ def main():
         extras["config1_dense_skipped"] = "budget"
     _result = headline(best_s)
 
-    # Extra configs in isolated child processes (see CHILD_GROUPS).
-    for group in CHILD_GROUPS:
+    # Extra configs in isolated child processes (see CHILD_GROUPS). The
+    # cheap group runs first but is capped so config 5 keeps its floor;
+    # config 5 then gets everything left.
+    for gi, group in enumerate(CHILD_GROUPS):
         min_budget = CONFIGS[group[0]][1]
-        if _budget_left() > min_budget:
-            _run_child(",".join(group), extras, _budget_left())
+        later_floor = sum(CONFIGS[g[0]][1] for g in CHILD_GROUPS[gi + 1:])
+        budget = _budget_left() - later_floor
+        if budget > min_budget:
+            _run_child(",".join(group), extras, budget)
         else:
             for name in group:
                 extras[f"config{name}_skipped"] = "budget"

@@ -35,11 +35,14 @@ seconds to minutes at 62K triangles.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 from distributed_raytracer_tpu.models.camera import Camera, CameraArrays
 from distributed_raytracer_tpu.models.scene import Scene, SceneArrays
@@ -616,8 +619,13 @@ class CulledRenderer:
         state = {}
 
         def freeze_from(counts):
-            state["pads"] = tuple(tuple(_bucket(x, margin) for x in quad)
-                                  for quad in counts)
+            pads = tuple(tuple(_bucket(x, margin) for x in quad)
+                         for quad in counts)
+            prev = state.get("pads")
+            if prev is not None:   # grow-only, as freeze()
+                pads = tuple(tuple(max(p, q) for p, q in zip(quad, pq))
+                             for quad, pq in zip(pads, prev))
+            state["pads"] = pads
             state["fused"] = jax.jit(functools.partial(
                 self._full_bounced_fn, state["pads"]))
 
@@ -634,13 +642,20 @@ class CulledRenderer:
                 # level-1 bucket truncates the level-1 list, making the
                 # reported level-2 counts undercounts — one refreeze from
                 # them is not sufficient (see render_fast's verify loop).
+                fits = False
                 for _ in range(8):
                     got = np.asarray(counts)
                     if not any(any(g[k] > p[k] for k in range(4))
                                for g, p in zip(got, state["pads"])):
+                        fits = True
                         break
                     freeze_from([tuple(g) for g in got])
                     img, counts = state["fused"](*args)
+                if not fits:
+                    _log.warning(
+                        "bounced verify did not converge in 8 rounds "
+                        "(counts %s vs pads %s); image may drop blocks",
+                        np.asarray(counts).tolist(), state["pads"])
             return img
 
         render.pads = lambda: state["pads"]
@@ -754,6 +769,13 @@ class CulledRenderer:
                 + (_tile_bucket(int(self._last_counts[2] * margin),
                                 self.n_tiles),)
                 + pads[3:])
+        # Grow-only: a refreeze must never SHRINK a bucket. The verify
+        # loops rebuild pads from the latest reported counts; without the
+        # max a bucket could oscillate between rounds and the "each round
+        # strictly grows some bucket" convergence argument would not hold.
+        prev = getattr(self, "_frozen_pads", None)
+        if prev is not None:
+            pads = tuple(max(p, q) for p, q in zip(pads, prev))
         self._fused = jax.jit(functools.partial(self._full_fn, *pads))
         self._frozen_pads = pads
 
@@ -774,14 +796,22 @@ class CulledRenderer:
             self.arrays, self.tris_packed, self.tris_dirs, self.lights_scal,
             self.shade_tbl, self.block_lo, self.block_hi, self._perm, cam)
         if verify:
+            fits = False
             for _ in range(8):   # each round strictly grows some bucket
                 got = tuple(int(c) for c in np.asarray(counts))
                 if all(g <= p for g, p in zip(got, self._frozen_pads)):
+                    fits = True
                     break
                 self._last_counts = got
-                self.freeze(camera)
+                self.freeze(camera)   # grow-only (pads maxed with previous)
                 img, counts = self._fused(
                     self.arrays, self.tris_packed, self.tris_dirs,
                     self.lights_scal, self.shade_tbl, self.block_lo,
                     self.block_hi, self._perm, cam)
+            if not fits:
+                _log.warning(
+                    "render_fast verify did not converge in 8 rounds "
+                    "(counts %s vs pads %s); image may drop blocks",
+                    tuple(int(c) for c in np.asarray(counts)),
+                    self._frozen_pads)
         return img

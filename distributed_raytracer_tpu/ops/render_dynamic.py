@@ -29,10 +29,13 @@ in front of _full_fn with zero changes to the hot kernels.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 from distributed_raytracer_tpu.models.camera import Camera
 from distributed_raytracer_tpu.models.scene import Scene, SceneDiff
@@ -114,19 +117,36 @@ class DynamicCulledRenderer(CulledRenderer):
         if self._fused is None:
             self.freeze(camera)
         pads = self._frozen_pads
-        fn = self._dyn_cache.get(pads)
-        if fn is None:
-            fn = jax.jit(functools.partial(self._dyn_fn, pads))
-            self._dyn_cache[pads] = fn
         diff = SceneDiff(*(jnp.asarray(a, jnp.float32) for a in diff))
-        img, counts = fn(self.arrays, self.tris_packed,
-                         self.tris_dirs, self.shade_tbl,
-                         self.block_lo, self.block_hi,
-                         self._perm, cam, diff)
+
+        def dispatch(pads):
+            fn = self._dyn_cache.get(pads)
+            if fn is None:
+                fn = jax.jit(functools.partial(self._dyn_fn, pads))
+                self._dyn_cache[pads] = fn
+            return fn(self.arrays, self.tris_packed,
+                      self.tris_dirs, self.shade_tbl,
+                      self.block_lo, self.block_hi,
+                      self._perm, cam, diff)
+
+        img, counts = dispatch(pads)
         if verify:
-            got = tuple(int(c) for c in np.asarray(counts))
-            if any(g > p for g, p in zip(got, pads)):
+            # Loop until every count fits its bucket: a truncated level-1
+            # list makes the reported level-2 counts undercounts, so one
+            # refreeze is not sufficient (render_fast's verify loop).
+            fits = False
+            for _ in range(8):
+                got = tuple(int(c) for c in np.asarray(counts))
+                if all(g <= p for g, p in zip(got, self._frozen_pads)):
+                    fits = True
+                    break
                 self._last_counts = got
-                self.freeze(camera)
-                return self.render_dynamic(camera, diff)
+                self.freeze(camera)   # grow-only
+                img, counts = dispatch(self._frozen_pads)
+            if not fits:
+                _log.warning(
+                    "render_dynamic verify did not converge in 8 rounds "
+                    "(counts %s vs pads %s); image may drop blocks",
+                    tuple(int(c) for c in np.asarray(counts)),
+                    self._frozen_pads)
         return img

@@ -192,14 +192,19 @@ def prepare_packed(scene: SceneArrays, rays: jnp.ndarray,
         table = pack_table(scene).T
     t = jnp.where(hits.valid, hits.t, 0.0)
     tri = jnp.maximum(hits.tri, 0)
-    if table.shape[1] <= 4096:
-        # Small table: express the gather as (32, T) @ one_hot(T, C) on
-        # the MXU. XLA fuses the one-hot generation into the matmul tiles
-        # (nothing materializes), and the product lands directly in the
-        # (32, C) row layout the shading math reads — no (C, 32)
-        # intermediate, no layout copy. HIGHEST precision makes selection
-        # exact (each column has a single 1.0). Large tables fall back to
-        # the gather: the matmul is O(C*T) and loses past a few K rows.
+    if table.shape[1] * tri.shape[0] <= (1 << 27) and table.shape[1] <= 4096:
+        # Small table x bounded ray count: express the gather as
+        # (32, T) @ one_hot(T, C) on the MXU. XLA fuses the one-hot
+        # generation into the matmul tiles (nothing materializes), and the
+        # product lands directly in the (32, C) row layout the shading math
+        # reads — no (C, 32) intermediate, no layout copy. HIGHEST
+        # precision makes selection exact (each column has a single 1.0).
+        # The gate is on the PRODUCT T*C, not T alone: the uncompacted
+        # multi-bounce path feeds C ~ 2M rays at 1080p, where the O(T*C)
+        # matmul both loses to the gather and risks a multi-GB (T, C)
+        # intermediate if XLA ever failed to fuse the one-hot. 2^27 pairs
+        # (<= 536 MB worst-case unfused) keeps the compacted config-1 path
+        # (C ~ 64K) on the MXU and everything ray-proportional off it.
         oh = (tri[None, :] == jnp.arange(table.shape[1],
                                          dtype=jnp.int32)[:, None])
         g = jax.lax.dot_general(

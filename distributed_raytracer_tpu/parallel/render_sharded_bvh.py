@@ -21,12 +21,15 @@ drop candidate blocks, and the reference never displays a wrong tile
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
+
+_log = logging.getLogger(__name__)
 
 try:
     shard_map = jax.shard_map
@@ -112,12 +115,18 @@ def _finish(mesh, n, h_band, band, shard_fn, height, refreeze):
             # the reported level-2 counts undercounts, so a single
             # refreeze-from-reported-values could still truncate (see
             # CulledRenderer.render_fast's verify loop).
+            fits = False
             for _ in range(8):
                 new_fn = refreeze(np.asarray(counts))
                 if new_fn is None:
+                    fits = True
                     break
                 state["jit"] = build(new_fn)
                 out, counts = device_fn(c)
+            if not fits:
+                _log.warning(
+                    "sharded verify did not converge in 8 rounds (counts "
+                    "%s); image may drop blocks", np.asarray(counts).tolist())
         render.last_counts = np.asarray(counts)
         return np.asarray(out)[:height]          # (height_padded, W, 3)
 

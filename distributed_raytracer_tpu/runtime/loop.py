@@ -86,13 +86,18 @@ def run_loop(
     def try_recover():
         """Rebuild the render path via the `recover` hook. Returns True if
         the stream should continue (with render_fn replaced)."""
-        nonlocal render_fn, consecutive_drops, recoveries
+        nonlocal render_fn, consecutive_drops, recoveries, frames_dropped
         if recover is None or recoveries >= cfg.max_recoveries:
             return False
-        # Wedged in-flight results belong to the torn-down path; drain
-        # them as drops so display stays in order.
+        # In-flight results belong to the torn-down path. ABANDON them as
+        # drops without synchronizing: draining would block on np.asarray,
+        # and a client that HANGS (rather than raises) would turn the heal
+        # path into a deadlock — the exact wedge recovery exists for.
+        # Display order is preserved (nothing later has been shown).
         while in_flight:
-            drain_one()
+            idx, _ = in_flight.popleft()
+            frames_dropped += 1
+            _log.warning("frame %d abandoned (recovery)", idx)
         attempt = recoveries + 1
         try:
             new_fn = recover(attempt)

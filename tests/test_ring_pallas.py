@@ -32,7 +32,11 @@ def _brute_nearest(rays, tris):
     ku, cu = tris[4:7].T[None, :, :], tris[7][None, :]
     kv, cv = tris[8:11].T[None, :, :], tris[11][None, :]
     den = (n * d).sum(-1)
-    t = (tris[3][None, :] - (n * o).sum(-1)) / den
+    # den == 0 rows (parallel rays, all-zero padding triangles) are masked
+    # invalid below; divide by a safe value so no inf/NaN intermediate ever
+    # forms (inf * 0 in the u/v FMAs raised RuntimeWarnings that would bury
+    # a real NaN regression in noise).
+    t = (tris[3][None, :] - (n * o).sum(-1)) / np.where(den != 0, den, 1.0)
     u = (ku * o).sum(-1) + cu + t * (ku * d).sum(-1)
     v = (kv * o).sum(-1) + cv + t * (kv * d).sum(-1)
     eps = float(ring_trace.BARY_EPS)

@@ -153,6 +153,16 @@ def main() -> int:
     check("render_fast_62k", np.isfinite(img).all() and img.max() > 0.0,
           f"counts={r3._last_counts}")
 
+    # --- pipeline: one 1080p multi-bounce frame (config-2 shape) ----------
+    # The uncompacted bounce path feeds ~2M rays through prepare_packed —
+    # the exact shape where the one-hot table fetch must fall back to the
+    # gather (shade.prepare_packed's product gate); exercise it on the chip
+    # so an interpret-passes/chip-fails regression there cannot ship.
+    r2 = CulledRenderer(scene, 1920, 1080)
+    bounced = r2.freeze_bounced(scene.camera, depth=2)
+    img2 = np.asarray(bounced(scene.camera.to_arrays()))
+    check("bounce2_1080p", np.isfinite(img2).all() and img2.max() > 0.0)
+
     wall = time.monotonic() - t_start
     status = "PASSED" if not failures else f"FAILED ({failures})"
     print(f"tpu_smoke: {status} in {wall:.0f}s on {dev}")
