@@ -88,7 +88,7 @@ class CulledRenderer:
                  block_size: int = 128, ray_tile: int = 512,
                  interpret: bool = False, prebaked=None,
                  exit_every: Optional[int] = None, cull_group: int = 16,
-                 use_mxu: bool = False):
+                 use_mxu: bool = False, tile_w: Optional[int] = None):
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
@@ -134,6 +134,7 @@ class CulledRenderer:
         # the raw per-triangle fields, and at 5M triangles shipping those
         # across a tunneled device link costs minutes for nothing.
         self.arrays_host: SceneArrays = arrays
+        self.tree = tree   # kept for cheap re-instantiation via prebaked=
         tris16_np = bsr_trace.pack_tris(arrays)
         table_np = shade.pack_table(arrays, xp=np)
         self.arrays: SceneArrays = jax.device_put(_slim_arrays(arrays))
@@ -176,8 +177,12 @@ class CulledRenderer:
             else:
                 self.lights_scal = jnp.zeros((0, 16), jnp.float32)
 
-        # 2D screen tiles (32 x rt/32 pixels): see module docstring.
-        self.tile_w = 32
+        # 2D screen tiles (default 32 x rt/32 pixels): see module
+        # docstring. `tile_w` overrides the aspect — squarer tiles have
+        # tighter interval hulls per ray (less angular spread), which can
+        # cut scheduled pairs on surface-heavy scenes at the cost of more
+        # tiles.
+        self.tile_w = 32 if tile_w is None else tile_w
         self.tile_h = ray_tile // self.tile_w
         perm, inv_real, n_slots = cull.tiled_ray_order(
             width, height, self.tile_w, self.tile_h)
@@ -187,6 +192,9 @@ class CulledRenderer:
         self.n_tiles = self.n_pad // ray_tile
 
         self._stage_a = jax.jit(self._stage_a_fn)
+        # Per-ray live mask for partial-frame renders (None = all live).
+        # The cost-balanced band renderer sets this to kill padding tiles.
+        self._live = None
         self._stage_b_cache = {}
         self._stage_c_cache = {}
         self._count_fine_cache = {}
@@ -217,11 +225,16 @@ class CulledRenderer:
 
     # -- stage A: primary rays + cull ------------------------------------
 
-    def _stage_a_fn(self, cam: CameraArrays, perm, block_lo, block_hi):
+    def _stage_a_fn(self, cam: CameraArrays, perm, block_lo, block_hi,
+                    live=None):
+        """`live` ((n_pad,) bool or None) masks rays out of the tile
+        interval hulls — the cost-balanced band renderer marks its padding
+        tiles dead so they cull to zero work (parallel/render_sharded_bvh
+        balanced mode); full-frame renders pass None."""
         d_rows = raygen.ray_rows_flat(cam, self.width, self.raygen_height,
                                       perm)
         rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)
-        ti = cull.tile_intervals_packed(rays, self.rt)
+        ti = cull.tile_intervals_packed(rays, self.rt, live=live)
         mask1, entry1, c1 = cull.coarse_mask(ti, block_lo, block_hi,
                                              self.cull_group)
         return rays, ti, mask1, entry1, c1
@@ -240,6 +253,37 @@ class CulledRenderer:
             fn = jax.jit(count_fn)
             self._count_fine_cache[w1_pad] = fn
         return fn
+
+    def per_tile_cells(self, camera) -> np.ndarray:
+        """(n_tiles,) int32: fine-level cull cells per ray tile for this
+        camera — the per-tile WORK signal. The cost-balanced band partition
+        (parallel/render_sharded_bvh, the least-loaded-scheduler analog of
+        master/pool/pool.go:148-197) sums these per tile row to size band
+        heights so every device schedules ~equal pairs. Sizing-time only
+        (one host sync; the scatter-add is small)."""
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        _, ti, mask1, entry1, c1 = self._stage_a(
+            cam, self._perm, self.block_lo, self.block_hi, self._live)
+        w1_pad = _bucket(int(c1))
+        c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
+                                      mask1, entry1, c1)
+        w_pad = _bucket(int(c2))
+        key = ("per_tile", w1_pad, w_pad)
+        fn = self._count_fine_cache.get(key)
+        if fn is None:
+            def per_tile_fn(block_lo, block_hi, ti, mask1, entry1, c1):
+                m = mask1.reshape(-1, mask1.shape[-1])
+                e = entry1.reshape(-1, entry1.shape[-1])
+                wl, _ = cull.fine_worklist(ti, m, e, c1, block_lo, block_hi,
+                                           self.cull_group, w1_pad, w_pad)
+                real = (jnp.arange(w_pad, dtype=jnp.int32)
+                        < wl.count).astype(jnp.int32)
+                return jnp.zeros((self.n_tiles,), jnp.int32
+                                 ).at[wl.tile_ids].add(real)
+            fn = jax.jit(per_tile_fn)
+            self._count_fine_cache[key] = fn
+        return np.asarray(fn(self.block_lo, self.block_hi, ti, mask1,
+                             entry1, c1))
 
     # -- stage B: nearest hit + shadow masks -----------------------------
 
@@ -680,7 +724,7 @@ class CulledRenderer:
         """Render a frame; returns a device array (H, W, 3) float32."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         rays, ti, mask1, entry1, c1 = self._stage_a(
-            cam, self._perm, self.block_lo, self.block_hi)
+            cam, self._perm, self.block_lo, self.block_hi, self._live)
         w1_pad = _bucket(int(c1))
         c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
                                       mask1, entry1, c1)
@@ -739,9 +783,9 @@ class CulledRenderer:
     def _full_fn(self, w1_pad: int, w_pad: int, h_pad: int, w1_pad_sh: int,
                  w_pad_sh: int, scene: SceneArrays,
                  tris_packed, tris_dirs, lights_scal, shade_tbl, block_lo,
-                 block_hi, perm, cam: CameraArrays):
+                 block_hi, perm, cam: CameraArrays, live=None):
         rays, ti, mask1, entry1, c1 = self._stage_a_fn(cam, perm, block_lo,
-                                                       block_hi)
+                                                       block_hi, live)
         hits, hcount, c2 = self._stage_b1_fn(
             w1_pad, w_pad, scene, tris_packed, tris_dirs,
             block_lo, block_hi, rays, ti, mask1, entry1, c1)
@@ -794,7 +838,8 @@ class CulledRenderer:
             self.freeze(camera)
         img, counts = self._fused(
             self.arrays, self.tris_packed, self.tris_dirs, self.lights_scal,
-            self.shade_tbl, self.block_lo, self.block_hi, self._perm, cam)
+            self.shade_tbl, self.block_lo, self.block_hi, self._perm, cam,
+            self._live)
         if verify:
             fits = False
             for _ in range(8):   # each round strictly grows some bucket
@@ -807,7 +852,7 @@ class CulledRenderer:
                 img, counts = self._fused(
                     self.arrays, self.tris_packed, self.tris_dirs,
                     self.lights_scal, self.shade_tbl, self.block_lo,
-                    self.block_hi, self._perm, cam)
+                    self.block_hi, self._perm, cam, self._live)
             if not fits:
                 _log.warning(
                     "render_fast verify did not converge in 8 rounds "

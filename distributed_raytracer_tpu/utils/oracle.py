@@ -216,6 +216,51 @@ def render_oracle(scene: Scene, width: int, height: int,
     return img
 
 
+def render_oracle_tiles(scene: Scene, width: int, height: int,
+                        workers: int, camera: Camera | None = None,
+                        only: "list | None" = None, **bisect_kw):
+    """Oracle rendering in the master's own WorkOrder rectangles.
+
+    Partitions the frame with parallel/tile.partition_bisect (the faithful
+    master/main.go:54-91 bisection) and renders tile by tile — the
+    sequential oracle playing the reference's *distributed* schedule. Two
+    uses: golden tests can render ONLY the tiles covering a feature
+    (`only` = tile indices) at a fraction of the full-frame oracle cost,
+    and the tile decomposition itself is exercised against the oracle
+    (every pixel covered exactly once — tested in tests/test_tile.py).
+
+    Returns (img, tiles); pixels outside `only` stay black.
+    """
+    from distributed_raytracer_tpu.parallel.tile import partition_bisect
+
+    cam = camera if camera is not None else scene.camera
+    tiles, _ = partition_bisect(width, height, workers, **bisect_kw)
+    soup = _Soup(scene)
+    img = np.zeros((height, width, 3))
+    half_w, half_h = width // 2, height // 2
+    phw = np.tan(cam.fov / 2.0)
+    phh = phw * height / width
+    for k, tile in enumerate(tiles):
+        if only is not None and k not in only:
+            continue
+        for j in range(tile.y, tile.y + tile.height):
+            for i in range(tile.x, tile.x + tile.width):
+                i_off = cam.left * (phw * ((half_w - i) - 0.5) / half_w)
+                j_off = cam.up * (phh * ((half_h - j) - 0.5) / half_h)
+                d = cam.forward + i_off + j_off
+                d = d / np.linalg.norm(d)
+                t, idx, r1, r2, r3 = _trace(soup, cam.pos, d)
+                if np.isfinite(t):
+                    x = cam.pos + t * d
+                    n = (r1 * soup.n0[idx] + r2 * soup.n1[idx]
+                         + r3 * soup.n2[idx])
+                    n = n / np.linalg.norm(n)
+                    img[j, i], _ = _phong(soup, x, n, soup.mat[idx],
+                                          cam.pos, scene.light_pos,
+                                          scene.light_col)
+    return img, tiles
+
+
 def to_u8(img: np.ndarray) -> np.ndarray:
     """uint8(255*c) truncation (colour.go:59-61)."""
     return (255.0 * np.clip(img, 0.0, 1.0)).astype(np.uint8)

@@ -52,3 +52,27 @@ def test_row_partition_padding():
     assert per % 16 == 0
     assert per * 8 >= 100
     assert row_partition(64, 8, chunk=1) == 8
+
+
+def test_oracle_renders_in_bisect_tiles(tetra_scene):
+    """The oracle driven by the master's WorkOrder rectangles: full-frame
+    tile-by-tile render == plain oracle render (every pixel covered exactly
+    once), and a single tile renders only (and exactly) its region."""
+    from distributed_raytracer_tpu.utils import oracle
+
+    w, h = 48, 36
+    full = oracle.render_oracle(tetra_scene, w, h)
+    tiled, tiles = oracle.render_oracle_tiles(
+        tetra_scene, w, h, workers=6, width_kernel=16, height_kernel=16)
+    assert len(tiles) > 1
+    np.testing.assert_array_equal(tiled, full)
+
+    one, tiles = oracle.render_oracle_tiles(
+        tetra_scene, w, h, workers=6, only=[0],
+        width_kernel=16, height_kernel=16)
+    t = tiles[0]
+    np.testing.assert_array_equal(one[t.y:t.y + t.height, t.x:t.x + t.width],
+                                  full[t.y:t.y + t.height, t.x:t.x + t.width])
+    outside = one.copy()
+    outside[t.y:t.y + t.height, t.x:t.x + t.width] = 0
+    assert not outside.any()
