@@ -37,9 +37,24 @@ Comm per frame: one all_to_all of (r x 34) f32 + per light one all_gather of
 (8 x r) + one all_to_all of r bits — O(rays), independent of triangle count,
 riding ICI. Geometry never moves.
 
+Multi-bounce (bounces=N at construction): the hard mode — a REFLECTION ray
+leaves its origin shard's geometry, so each bounce repeats the full
+gather/cull/fold round: after the nearest fold, every shard builds its
+resident rays' reflection queries locally (from the carried shading rows),
+all_gathers the full reflection-ray set (+ liveness + self-exclusion ids),
+culls it against its OWN blocks, runs the per-ray-origin BSR nearest, and
+all_to_alls the candidates home again. Radiance accumulates per resident
+ray exactly as the replicated path (ops/render_bvh.render_bounced):
+colour += throughput * phong_b, throughput *= Ks, one final clamp. Dead
+rays (miss / zero-Ks) are masked out of the tile hulls per bounce so they
+cost no cull or kernel work anywhere. Comm per bounce: one all_gather of
+(8 x r) rays + r liveness bits + r exclusion ids, then the same fold and
+shadow rounds as the primary — still O(rays), never geometry.
+
 Capability match: the reference's block-partitioned "distributed" identity
 (BASELINE config 5) with the two-level R-tree pruning of
-/root/reference/shared/state/object.go:76 applied to every query.
+/root/reference/shared/state/object.go:76 applied to every query; the
+bounce rounds are BASELINE.json's "secondary-ray halo exchange" north star.
 """
 
 from __future__ import annotations
@@ -159,9 +174,15 @@ class HaloCulledRenderer:
                  sizing_camera: Optional[Camera] = None,
                  margin: float = 2.0, cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
-                 interpret: bool = False, dynamic: bool = False):
+                 interpret: bool = False, dynamic: bool = False,
+                 bounces: int = 0):
         if mesh is None:
             mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
+        self.bounces = int(bounces)
+        if self.bounces and dynamic:
+            raise NotImplementedError(
+                "halo bounces with per-frame diffs: combine render_dynamic "
+                "with bounces=0, or bounces with static scenes")
         self.mesh = mesh
         self.n = int(mesh.devices.size)
         self.width, self.height, self.cfg = width, height, cfg
@@ -234,10 +255,15 @@ class HaloCulledRenderer:
         self._perm = jax.device_put(jnp.asarray(perm), sh(P()))
 
         camera = sizing_camera if sizing_camera is not None else scene.camera
-        counts = self._sizing_counts(camera)
-        self._freeze(counts)
+        if self.bounces:
+            counts = self._sizing_counts_bounced(camera, self.bounces)
+            self._freeze_bounced(counts)
+            self.last_counts = counts   # (B+1, n, 2) per bounce, per shard
+        else:
+            counts = self._sizing_counts(camera)
+            self._freeze(counts)
+            self.last_counts = counts   # (n, 2) (primary, max shadow)
         self._full = None
-        self.last_counts = counts  # (n, 2) per-shard (primary, max shadow)
 
     # -- sizing (build time, one device, full geometry) --------------------
 
@@ -293,6 +319,91 @@ class HaloCulledRenderer:
         per_shard_s = (per_ls.max(axis=0) if per_ls.size
                        else np.zeros(self.n, np.int64))
         return np.stack([per_shard_p, per_shard_s], axis=1)
+
+    # -- bounce sizing (build time, one device, full geometry) --------------
+
+    def _reflect_rows(self, prep, rays, valid):
+        """Reflection rays + liveness from one bounce's shading prep —
+        EXACTLY ops/render_bvh.CulledRenderer._reflection_query's math
+        (shading normal for both the mirror and the epsilon lift)."""
+        cfg = self.cfg
+        nrm = prep.normal
+        d = rays[3:6]
+        d_dot_n = jnp.sum(d * nrm, axis=0)
+        refl = d - 2.0 * d_dot_n[None, :] * nrm
+        rlen = jnp.sqrt(jnp.sum(refl * refl, axis=0, keepdims=True))
+        refl = refl / jnp.where(rlen > 0, rlen, 1.0)
+        side = jnp.where(jnp.sum(nrm * refl, axis=0) >= 0.0, 1.0, -1.0)
+        o = (prep.x + cfg.shadow_offset * refl
+             + (cfg.shadow_normal_offset * side)[None, :] * nrm)
+        r_rays = bsr_trace.pack_rays_rows(o, refl)
+        live = valid & jnp.any(prep.ks > 0.0, axis=0)
+        return r_rays, live
+
+    def _size_mask(self, blo, bhi, rays, live):
+        ti = cull.tile_intervals_packed(rays, self.rt, live=live)
+        mask, entry = cull.block_mask_with_entry(ti, blo, bhi)
+        return mask, entry, mask.sum().astype(jnp.int32)
+
+    def _size_bounce_step(self, shared: bool, w_full: int, tris16, table32,
+                          blo, bhi, rays, live, excl, view, mask, entry):
+        """One bounce of the sizing walk on full geometry. Returns the
+        per-light per-shard shadow counts plus the next bounce's state."""
+        wl = cull.compact_worklist(mask, w_full, entry=entry)
+        tris_arg = (bsr_trace.pack_tris_origin(tris16, rays[0:3, 0])
+                    if shared else tris16)
+        bt, bi = bsr_trace.bsr_nearest(
+            rays, excl, tris_arg, wl.tile_ids, wl.block_ids, wl.entry,
+            wl.count, rt=self.rt, tb=self.tb, w_pad=w_full,
+            interpret=self.interpret, shared_origin=shared)
+        visited = jnp.repeat(mask.any(axis=1), self.rt)
+        bt = jnp.where(visited, bt, jnp.inf)
+        bi = jnp.where(visited, bi, jnp.int32(bsr_trace.BIG_IDX))
+        valid = jnp.isfinite(bt) & live
+        g = table32[jnp.clip(bi, 0, table32.shape[0] - 1)].T
+        prep = shade.prepare_packed_rows(self.lights_pos, rays,
+                                         jnp.where(valid, bt, 0.0), g,
+                                         self.cfg)
+        live_l = shade.light_gates_rows(self.lights_col, view, prep, valid)
+        per_ls = []
+        for li in range(self.n_lights):
+            ti_s = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
+                                              live=live_l[li], use_tmax=True)
+            smask, _ = cull.block_mask_with_entry(ti_s, blo, bhi)
+            per_ls.append(self._per_shard(smask))
+        per_s = (jnp.stack(per_ls) if per_ls
+                 else jnp.zeros((0, self.n), jnp.int32))
+        r_rays, live2 = self._reflect_rows(prep, rays, valid)
+        excl2 = jnp.where(valid, bi, -1)
+        return per_s, r_rays, live2, excl2, prep.x
+
+    def _sizing_counts_bounced(self, camera, depth: int) -> np.ndarray:
+        """(B+1, n, 2): per-bounce per-shard (primary cells, max-per-light
+        shadow cells) on full geometry — the bounce bucket-sizing inputs."""
+        cam = camera.to_arrays() if isinstance(camera, Camera) else camera
+        tris16, table32, blo, bhi = self._full
+        d_rows = raygen.ray_rows_flat(cam, self.width, self.height,
+                                      self._perm)
+        rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)
+        live = jnp.ones((self.n_pad_ext,), bool)
+        excl = jnp.full((self.n_pad_ext,), -1, jnp.int32)
+        view = cam.pos
+        size_mask = jax.jit(self._size_mask)
+        out = []
+        for b in range(depth + 1):
+            mask, entry, c = size_mask(blo, bhi, rays, live)
+            per_p = np.asarray(self._per_shard(mask))
+            w_full = _bucket(int(c))
+            step = jax.jit(functools.partial(self._size_bounce_step,
+                                             b == 0, w_full))
+            per_ls, rays, live, excl, view = step(
+                tris16, table32, blo, bhi, rays, live, excl, view, mask,
+                entry)
+            per_ls = np.asarray(per_ls)
+            per_s = (per_ls.max(axis=0) if per_ls.size
+                     else np.zeros(self.n, np.int64))
+            out.append(np.stack([per_p, per_s], axis=1))
+        return np.stack(out)
 
     # -- the sharded frame --------------------------------------------------
 
@@ -382,6 +493,140 @@ class HaloCulledRenderer:
         counts = jnp.stack([count_p, count_s])[None, :]    # (1, 2)
         return colour, counts
 
+    def _shard_fn_bounced(self, w_pads: tuple, w_pads_sh: tuple,
+                          cam: CameraArrays, geom: ShardedGeometry, perm,
+                          lights_pos, lights_col):
+        """N-bounce Whitted frame on sharded geometry (module docstring
+        "Multi-bounce"). Semantics match CulledRenderer.render_bounced
+        exactly; the fold tie-break (t, then global id) makes the radiance
+        independent of shard order."""
+        n, rt, tb = self.n, self.rt, self.tb
+        gid0 = geom.base[0]
+        me = jax.lax.axis_index(AXIS)
+        a2a = lambda x: jax.lax.all_to_all(x, AXIS, split_axis=0,
+                                           concat_axis=0, tiled=True)
+
+        d_rows = raygen.ray_rows_flat(cam, self.width, self.height, perm)
+        rays_all = bsr_trace.pack_rays_rows(cam.pos, d_rows)
+        live_all = jnp.ones((self.n_pad_ext,), bool)
+        excl_all = jnp.full((self.n_pad_ext,), -1, jnp.int32)
+        colour = jnp.zeros((3, self.r_loc), jnp.float32)
+        throughput = jnp.ones((3, self.r_loc), jnp.float32)
+        view = cam.pos
+        counts = []
+        for b in range(self.bounces + 1):
+            # nearest vs LOCAL blocks over the (gathered) full ray set
+            ti = cull.tile_intervals_packed(rays_all, rt, live=live_all)
+            mask, entry = cull.block_mask_with_entry(ti, geom.block_lo,
+                                                     geom.block_hi)
+            count_p = mask.sum().astype(jnp.int32)
+            wl = cull.compact_worklist(mask, w_pads[b], entry=entry)
+            if b == 0:
+                tris_arg = bsr_trace.pack_tris_origin(geom.tris16, cam.pos)
+            else:
+                tris_arg = geom.tris16      # per-ray origins
+            bt, bi = bsr_trace.bsr_nearest(
+                rays_all, excl_all, tris_arg, wl.tile_ids, wl.block_ids,
+                wl.entry, wl.count, gid_base=gid0, rt=rt, tb=tb,
+                w_pad=w_pads[b], interpret=self.interpret,
+                shared_origin=(b == 0))
+            visited = jnp.repeat(mask.any(axis=1), rt)
+            bt = jnp.where(visited, bt, jnp.inf)
+            bi = jnp.where(visited, bi, jnp.int32(bsr_trace.BIG_IDX))
+
+            # candidates (t, gid, local shading row) home; fold
+            loc = jnp.clip(bi - gid0, 0, geom.tris16.shape[0] - 1)
+            grows = geom.table32[loc]
+            bt_h = a2a(bt).reshape(n, self.r_loc)
+            bi_h = a2a(bi).reshape(n, self.r_loc)
+            g_h = a2a(grows).reshape(n, self.r_loc, 32)
+            best_t, best_i, best_g = bt_h[0], bi_h[0], g_h[0]
+            for s in range(1, n):
+                better = ((bt_h[s] < best_t)
+                          | ((bt_h[s] == best_t) & (bi_h[s] < best_i)))
+                best_t = jnp.where(better, bt_h[s], best_t)
+                best_i = jnp.where(better, bi_h[s], best_i)
+                best_g = jnp.where(better[:, None], g_h[s], best_g)
+            live_res = jax.lax.dynamic_slice(live_all, (me * self.r_loc,),
+                                             (self.r_loc,))
+            valid = jnp.isfinite(best_t) & live_res
+
+            # resident shadow round (as the primary-only path)
+            my_rays = jax.lax.dynamic_slice(
+                rays_all, (0, me * self.r_loc), (8, self.r_loc))
+            prep = shade.prepare_packed_rows(
+                lights_pos, my_rays, jnp.where(valid, best_t, 0.0),
+                best_g.T, self.cfg)
+            live_l = shade.light_gates_rows(lights_col, view, prep, valid)
+            excl_sh = jnp.where(valid, best_i, -1)
+            excl_g = jax.lax.all_gather(excl_sh, AXIS, tiled=True)
+            lit = []
+            count_s = jnp.int32(0)
+            for li in range(self.n_lights):
+                q_g = jax.lax.all_gather(prep.q_rev[li], AXIS, axis=1,
+                                         tiled=True)
+                live_g = jax.lax.all_gather(live_l[li], AXIS, tiled=True)
+                ti_s = cull.tile_intervals_packed(q_g, rt, live=live_g,
+                                                  use_tmax=True)
+                smask, sentry = cull.block_mask_with_entry(
+                    ti_s, geom.block_lo, geom.block_hi)
+                count_s = jnp.maximum(count_s,
+                                      smask.sum().astype(jnp.int32))
+                swl = cull.compact_worklist(smask, w_pads_sh[b],
+                                            entry=sentry)
+                tris_l = bsr_trace.pack_tris_origin(geom.tris16,
+                                                    lights_pos[li])
+                hit = bsr_trace.bsr_any(
+                    q_g, excl_g, tris_l, swl.tile_ids, swl.block_ids,
+                    swl.entry, swl.count, gid_base=gid0, rt=rt, tb=tb,
+                    w_pad=w_pads_sh[b], interpret=self.interpret,
+                    shared_origin=True)
+                hit = jnp.where(jnp.repeat(smask.any(axis=1), rt), hit, 0)
+                hit_h = a2a(hit).reshape(n, self.r_loc)
+                lit.append(hit_h.max(axis=0) == 0)
+            lit = (jnp.stack(lit) if lit
+                   else jnp.zeros((0, self.r_loc), bool))
+
+            local = shade.shade_core_rows(lights_col, view, prep, valid,
+                                          lit)
+            colour = colour + throughput * local
+            counts.append(jnp.stack([count_p, count_s]))
+            if b == self.bounces:
+                break
+            throughput = jnp.where(valid[None, :],
+                                   throughput * prep.ks, 0.0)
+            # next bounce: resident reflections -> gathered full set
+            r_rays, live2 = self._reflect_rows(prep, my_rays, valid)
+            rays_all = jax.lax.all_gather(r_rays, AXIS, axis=1, tiled=True)
+            live_all = jax.lax.all_gather(live2, AXIS, tiled=True)
+            excl_all = excl_g
+            view = prep.x
+        colour = jnp.clip(colour, 0.0, 1.0)
+        return colour, jnp.stack(counts)[None]    # (3, r_loc), (1, B+1, 2)
+
+    def _freeze_bounced(self, counts: np.ndarray) -> None:
+        """Compile the bounce pipeline with per-bounce buckets from the
+        (B+1, n, 2) sizing counts x margin, grow-only across refreezes."""
+        worst = counts.max(axis=1)                 # (B+1, 2)
+        w_pads = tuple(_bucket(int(w), self.margin) for w in worst[:, 0])
+        w_pads_sh = tuple(_bucket(int(w), self.margin) for w in worst[:, 1])
+        prev = getattr(self, "w_pads", None)
+        if prev is not None:
+            w_pads = tuple(max(a, b) for a, b in zip(w_pads, prev))
+            w_pads_sh = tuple(max(a, b)
+                              for a, b in zip(w_pads_sh, self.w_pads_sh))
+        self.w_pads, self.w_pads_sh = w_pads, w_pads_sh
+        fn = functools.partial(self._shard_fn_bounced, w_pads, w_pads_sh)
+        geom_specs = ShardedGeometry(
+            tris16=P(AXIS), table32=P(AXIS), block_lo=P(AXIS),
+            block_hi=P(AXIS), base=P(AXIS))
+        self._render_jit = jax.jit(shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(), geom_specs, P(), P(), P()),
+            out_specs=(P(None, AXIS), P(AXIS)),
+            check_vma=False,
+        ))
+
     def _freeze(self, counts: np.ndarray) -> None:
         from distributed_raytracer_tpu.models.scene import SceneDiff
 
@@ -429,7 +674,17 @@ class HaloCulledRenderer:
         rows, counts = self.device_fn(cam)
         if verify:
             c = np.asarray(counts)
-            if int(c[:, 0].max()) > self.w_pad or \
+            if self.bounces:
+                # counts: (n, B+1, 2). Masks are exact per bounce, so one
+                # grow-only refreeze from true counts suffices.
+                worst = c.max(axis=0)            # (B+1, 2)
+                if (any(int(worst[b, 0]) > self.w_pads[b]
+                        for b in range(self.bounces + 1))
+                        or any(int(worst[b, 1]) > self.w_pads_sh[b]
+                               for b in range(self.bounces + 1))):
+                    self._freeze_bounced(c.transpose(1, 0, 2))
+                    rows, counts = self.device_fn(cam)
+            elif int(c[:, 0].max()) > self.w_pad or \
                     int(c[:, 1].max()) > self.w_pad_sh:
                 self._freeze(c)                  # re-size from true counts
                 rows, counts = self.device_fn(cam)
@@ -461,6 +716,10 @@ class HaloCulledRenderer:
 
     def scheduled_pairs(self) -> int:
         """Total (ray, triangle) pairs the last frame scheduled across all
-        shards (primary only) — the work-reduction diagnostic the dense
-        sharded paths cannot offer (they always do rays x T/N per shard)."""
-        return int(self.last_counts[:, 0].sum()) * self.rt * self.tb
+        shards (primary/reflection nearest queries only) — the
+        work-reduction diagnostic the dense sharded paths cannot offer
+        (they always do rays x T/N per shard)."""
+        c = self.last_counts
+        cells = (c[:, :, 0].sum() if c.ndim == 3      # (n, B+1, 2) bounced
+                 else c[:, 0].sum())
+        return int(cells) * self.rt * self.tb

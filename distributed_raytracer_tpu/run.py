@@ -22,7 +22,8 @@ Modes map to the reference topology:
   ring        - geometry rotated past resident rays (ring-attention
                 schedule), per-step BVH culling
 
---bounces N adds Whitted specular reflection bounces (culled/sharded-bvh).
+--bounces N adds Whitted specular reflection bounces (culled /
+sharded-bvh / halo; on halo each bounce is a secondary-ray halo exchange).
 """
 
 from __future__ import annotations
@@ -47,7 +48,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                                       "sharded-bvh", "halo", "ring"],
                    default="culled")
     p.add_argument("--bounces", type=int, default=0,
-                   help="Whitted reflection bounces (culled / sharded-bvh)")
+                   help="Whitted reflection bounces (culled / sharded-bvh / halo)")
+    p.add_argument("--animate-objects", action="store_true",
+                   help="orbit object 0 via per-frame SceneDiffs (the "
+                        "reference's per-WorkOrder EnvMutables, "
+                        "master/main.go:260-266; culled / halo modes)")
+    p.add_argument("--object-radius", type=float, default=1.0,
+                   help="orbit radius for --animate-objects")
     p.add_argument("--frames", type=int, default=60,
                    help="animation frames to render")
     p.add_argument("--animation", choices=["orbit", "strafe", "none"],
@@ -121,10 +128,34 @@ def main(argv=None) -> int:
 
     interpret = jax.default_backend() != "tpu"
     to_image = None   # multihost halo/ring: assemble gathered rows on host 0
+    render_k = None   # set when frames depend on the index (object diffs)
+    diffs = None
+    if args.animate_objects:
+        if args.mode not in ("culled", "halo") or args.bounces:
+            raise SystemExit("--animate-objects supports --mode culled/halo "
+                             "(without --bounces)")
+        if args.serve or args.multihost:
+            raise SystemExit("--animate-objects is a scripted-animation mode")
+        diffs = animation.orbit_object_diffs(
+            scene, args.frames, radius=args.object_radius,
+            revolutions=args.revolutions)
     if args.mode == "sequential":
         arrays = jax.device_put(scene.bake())
         render = lambda cam: render_frame(arrays, cam.to_arrays(), w, h)
         render_arrays = lambda c: render_frame(arrays, c, w, h)
+    elif args.mode == "culled" and args.animate_objects:
+        # Per-frame object/light diffs through the fused dynamic pipeline
+        # (ops/render_dynamic.py) — the EnvMutables-in-every-WorkOrder
+        # analog, end to end from the CLI.
+        from distributed_raytracer_tpu.ops.render_dynamic import (
+            DynamicCulledRenderer)
+
+        dyn = DynamicCulledRenderer(scene, w, h, interpret=interpret)
+        dyn.render(scene.camera, block=True)
+        dyn.freeze(scene.camera)
+        render_k = lambda k, cam: dyn.render_dynamic(
+            cam.to_arrays(), diffs[k], verify=(k % 8 == 0))
+        render_arrays = lambda c: dyn.render_dynamic(c, diffs[0])
     elif args.mode == "culled":
         culled = CulledRenderer(scene, w, h, interpret=interpret)
         if args.bounces:
@@ -157,19 +188,30 @@ def main(argv=None) -> int:
         if args.mode == "halo":
             from distributed_raytracer_tpu.parallel import halo_bvh as gmod
             cls = gmod.HaloCulledRenderer
+            extra = {"bounces": args.bounces}   # secondary-ray halo rounds
         else:
             from distributed_raytracer_tpu.parallel import ring_bvh as gmod
             cls = gmod.RingCulledRenderer
+            extra = {}
+            if args.bounces:
+                raise SystemExit("--bounces supports culled/sharded-bvh/halo")
         ndev = args.devices or len(jax.devices())
         mesh = jax.make_mesh((ndev,), (gmod.AXIS,))
-        r = cls(scene, w, h, mesh=mesh, interpret=interpret)
-        if args.multihost:
+        if args.animate_objects:     # halo only (guarded above)
+            extra["dynamic"] = True
+        r = cls(scene, w, h, mesh=mesh, interpret=interpret, **extra)
+        if args.animate_objects:
+            render_k = lambda k, cam: r.render_dynamic(
+                cam.to_arrays(), diffs[k], verify=(k % 8 == 0))
+            render_arrays = lambda c: r.render_dynamic(c, diffs[0])
+        elif args.multihost:
             # Device rows stay sharded; host 0 assembles after the gather.
             render = lambda cam: r.device_fn(cam.to_arrays())[0]
             to_image = r._assemble
+            render_arrays = lambda c: r.device_fn(c)[0]
         else:
             render = _periodic_verify(lambda cam, v: r.render(cam, verify=v))
-        render_arrays = lambda c: r.device_fn(c)[0]
+            render_arrays = lambda c: r.device_fn(c)[0]
     else:
         arrays = jax.device_put(scene.bake())
         mesh = (multihost.global_mesh("tiles") if args.multihost
@@ -207,7 +249,8 @@ def main(argv=None) -> int:
 
     # Warm up compile outside the timed loop (the reference never counts
     # startup either — its first frame just runs slow).
-    jax.block_until_ready(jax.tree.leaves(render(poses[0]))[0])
+    warm = render_k(0, poses[0]) if render_k is not None else render(poses[0])
+    jax.block_until_ready(jax.tree.leaves(warm)[0])
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -217,7 +260,7 @@ def main(argv=None) -> int:
     for k, cam in enumerate(poses):
         tick = time.monotonic()
         timer.frame_issued()
-        img = render(cam)
+        img = render_k(k, cam) if render_k is not None else render(cam)
         # Frame assembly: host 0 gathers in multihost mode (the coordinator
         # painting worker tiles, master/main.go:163-177); None elsewhere.
         img_np = (multihost.gather_frame(img) if args.multihost

@@ -44,6 +44,31 @@ def orbit_events(width: int, n_ticks: int, fov: float,
     yield [("key_up", "a")]
 
 
+def orbit_object_diffs(scene, n_frames: int, obj_index: int = 0,
+                       radius: float = 1.0, revolutions: float = 1.0):
+    """Per-frame SceneDiffs orbiting one object about its baked position in
+    the XZ plane — the scripted analog of the reference mutating object
+    state between frames (every WorkOrder carries the full EnvMutables,
+    master/main.go:260-266). Frame 0 is the baked pose; lights pass
+    through unchanged (they ride the same diff and may be animated the
+    same way)."""
+    import numpy as np
+
+    from distributed_raytracer_tpu.models.scene import SceneDiff
+
+    base = scene.make_diff()
+    diffs = []
+    for k in range(n_frames):
+        theta = 2.0 * math.pi * revolutions * k / max(n_frames, 1)
+        delta = np.array([radius * (math.cos(theta) - 1.0), 0.0,
+                          radius * math.sin(theta)], np.float32)
+        obj_pos = base.obj_pos.copy()
+        obj_pos[obj_index] = obj_pos[obj_index] + delta
+        diffs.append(SceneDiff(obj_pos=obj_pos, light_pos=base.light_pos,
+                               light_col=base.light_col))
+    return diffs
+
+
 def orbit_camera_path(camera: Camera, n_frames: int, radius: float = None,
                       revolutions: float = 1.0) -> List[Camera]:
     """Direct camera-pose orbit (bypasses the event system): rotate the

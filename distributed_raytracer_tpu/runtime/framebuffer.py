@@ -69,6 +69,34 @@ def write_png(path: str, img) -> None:
         f.write(png_bytes(img))
 
 
+def read_png(path: str) -> np.ndarray:
+    """Read back a PNG written by write_png (8-bit RGB, filter 0 scanlines)
+    — for round-trip tests; not a general PNG decoder."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert (depth, ctype) == (8, 2), "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = []
+    for r in range(h):
+        line = raw[r * stride:(r + 1) * stride]
+        assert line[0] == 0, "only filter 0 supported"
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
+    return np.stack(rows).reshape(h, w, 3)
+
+
 def read_ppm(path: str) -> np.ndarray:
     """Read back a P6 PPM (for round-trip tests)."""
     with open(path, "rb") as f:

@@ -110,3 +110,35 @@ def test_halo_bvh_dynamic_diff(two_tetra_scene, mesh8):
                                           verify=True))
         bad = (np.abs(got - want).max(-1) > 2 / 255).mean()
         assert bad < 0.005, f"frame {k}: {bad:.4f} mismatched"
+
+
+def test_halo_bounces_exact_tetra(tetra_scene, mesh8):
+    """Sharded geometry + reflection bounces: each bounce's rays leave
+    their origin shard (gather/cull/fold round per bounce) and the result
+    must equal the replicated multi-bounce image — BASELINE.json's
+    "secondary-ray halo exchange" hard mode at depth 1, exact on the
+    4-tri scene."""
+    w, h = 64, 48
+    single = CulledRenderer(tetra_scene, w, h, interpret=True)
+    ref = np.asarray(single.render_bounced(tetra_scene.camera, depth=1,
+                                           block=True))
+    r = halo_bvh.HaloCulledRenderer(tetra_scene, w, h, mesh=mesh8,
+                                    interpret=True, bounces=1)
+    out = r.render(tetra_scene.camera, verify=True)
+    assert r.last_counts.shape == (8, 2, 2)       # (n, B+1, 2)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_halo_bounces_match_replicated_suzanne(suzanne_scene, mesh8):
+    """depth-2 halo bounces vs the replicated render_bounced on the real
+    asset: bit-close outside the usual BARY_EPS tie pixels."""
+    w, h = 64, 48
+    single = CulledRenderer(suzanne_scene, w, h, interpret=True)
+    ref = np.asarray(single.render_bounced(suzanne_scene.camera, depth=2,
+                                           block=True))
+    r = halo_bvh.HaloCulledRenderer(suzanne_scene, w, h, mesh=mesh8,
+                                    interpret=True, bounces=2)
+    out = r.render(suzanne_scene.camera)
+    diff = np.abs(out - ref).max(-1)
+    assert (diff > 2 / 255).mean() < 0.005
+    assert np.abs(out - ref).mean() < 1e-3
