@@ -103,16 +103,20 @@ def _bench_frames(render, cams, n_frames):
     return (time.perf_counter() - t0) / n_frames
 
 
-def _culled_extras(extras, key, renderer, seconds, w, h):
-    """Per-config work accounting: scheduled pairs and SOL fraction."""
+def _culled_extras(extras, key, renderer, seconds, w, h, cells=None):
+    """Per-config work accounting: scheduled pairs and SOL fraction.
+
+    `cells` overrides the (primary, shadow) fine-cell counts — the batched
+    path passes the per-frame means from its own counts output."""
     from distributed_raytracer_tpu.utils import profiling
 
-    if renderer._last_counts is None:
-        return
-    lc = renderer._last_counts       # (c1, c2, hit_tiles, sc1, sc2)
-    count, scount = lc[1], lc[-1]    # fine-level cells
+    if cells is None:
+        if renderer._last_counts is None:
+            return
+        lc = renderer._last_counts   # per-level, hit tiles, per-level
+        cells = (lc[renderer.n_levels - 1], lc[-1])   # finest cells
     work = profiling.FrameWork(
-        primary_cells=int(count), shadow_cells=int(scount),
+        primary_cells=int(cells[0]), shadow_cells=int(cells[1]),
         rays=w * h, ray_tile=renderer.rt, tri_block=renderer.tb,
         seconds=seconds)
     extras[f"{key}_gpairs_per_s"] = round(work.gpairs_per_sec, 2)
@@ -366,6 +370,30 @@ def main():
     extras["frame_ms_culled"] = round(culled_s * 1e3, 2)
     _culled_extras(extras, "config1", culled, culled_s, width, height)
 
+    # Config 1 — batched dispatch (render_many): identical frames computed
+    # in ONE device dispatch over the pre-staged camera batch. Removes the
+    # per-frame tunnel/dispatch tax (~1.2 ms of the 2.7 ms per-dispatch
+    # frame), so this is the chip's THROUGHPUT capability and the basis of
+    # config1_sol_fraction; frame_ms_culled above remains the interactive
+    # per-dispatch frame time.
+    try:
+        imgs, counts = culled.render_many(cams)
+        jax.block_until_ready(imgs)
+        reps, t0 = 3, time.perf_counter()
+        for _ in range(reps):
+            imgs, counts = culled.render_many(cams)
+        jax.block_until_ready(imgs)
+        batched_s = (time.perf_counter() - t0) / (reps * len(cams))
+        cnp = np.asarray(counts)                 # (K, n_counts)
+        extras["frame_ms_batched"] = round(batched_s * 1e3, 3)
+        _culled_extras(extras, "config1", culled, batched_s, width, height,
+                       cells=(float(cnp[:, culled.n_levels - 1].mean()),
+                              float(cnp[:, -1].mean())))
+        best_batched = batched_s
+    except Exception as e:
+        extras["config1_batched_error"] = repr(e)[:200]
+        best_batched = culled_s
+
     def headline(best_s):
         mrays = width * height / best_s / 1e6
         return {
@@ -382,7 +410,7 @@ def main():
             **extras,
         }
 
-    best_s = culled_s
+    best_s = min(culled_s, best_batched)
     _result = headline(best_s)
 
     # Config 1 — dense path (968 tris fits the brute-force sweep).
@@ -391,7 +419,7 @@ def main():
         dense_s = _bench_frames(
             lambda c: render_frame(arrays, c, width, height), cams, n_frames)
         extras["frame_ms_dense"] = round(dense_s * 1e3, 2)
-        best_s = min(dense_s, culled_s)
+        best_s = min(dense_s, best_s)
     else:
         extras["config1_dense_skipped"] = "budget"
     _result = headline(best_s)

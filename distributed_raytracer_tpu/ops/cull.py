@@ -264,42 +264,41 @@ def coarse_mask(ti: TileIntervals, block_lo: jnp.ndarray,
     return m, e, m.sum()
 
 
-def fine_worklist(ti: TileIntervals, mask1: jnp.ndarray, entry1: jnp.ndarray,
-                  count1, block_lo: jnp.ndarray, block_hi: jnp.ndarray,
-                  group: int, w1_pad: int, w_pad: Optional[int]):
-    """Level-2 cull: expand the compacted level-1 (tile, superblock) list
-    into per-member-block tests and compact the survivors.
+def expand_worklist(ti: TileIntervals, wl1: WorkList,
+                    member_lo: jnp.ndarray, member_hi: jnp.ndarray,
+                    group: int, w_pad: Optional[int]):
+    """Expand a compacted (tile, parent-id) work list one level down:
+    test each item's `group` member boxes (taken from member_lo/hi, the
+    CHILD level's AABBs) and compact the survivors into member ids.
 
-    Returns (WorkList, count2). With w_pad=None only count2 is needed (the
-    sizing pass): the final compaction is skipped and WorkList is None.
-    The result is tile-major (inherited from the level-1 compaction order)
-    and approximately front-to-back within each tile (superblock entry
-    order; each item still carries its exact block entry for the kernels'
-    early-exit bound, so the order only affects how soon the bound bites).
-    """
-    nb = block_lo.shape[0]
-    nsb = -(-nb // group)
-    pad = nsb * group - nb
-    wl1 = compact_worklist(mask1, w1_pad, entry=entry1, count=count1)
+    Returns (WorkList, count). With w_pad=None only the count is needed
+    (the sizing pass): the compaction is skipped and WorkList is None.
+    The result preserves the parent order (tile-major, approximately
+    front-to-back; each item still carries its exact member entry for the
+    kernels' early-exit bound)."""
+    nm = member_lo.shape[0]
+    nparent = -(-nm // group)
+    pad = nparent * group - nm
     if pad:
-        block_lo = jnp.concatenate(
-            [block_lo, jnp.full((pad, 3), INF, block_lo.dtype)])
-        block_hi = jnp.concatenate(
-            [block_hi, jnp.full((pad, 3), -INF, block_hi.dtype)])
-    blo_g = block_lo.reshape(nsb, group, 3)[wl1.block_ids]   # (W1, G, 3)
-    bhi_g = block_hi.reshape(nsb, group, 3)[wl1.block_ids]
+        member_lo = jnp.concatenate(
+            [member_lo, jnp.full((pad, 3), INF, member_lo.dtype)])
+        member_hi = jnp.concatenate(
+            [member_hi, jnp.full((pad, 3), -INF, member_hi.dtype)])
+    blo_g = member_lo.reshape(nparent, group, 3)[wl1.block_ids]  # (W1, G, 3)
+    bhi_g = member_hi.reshape(nparent, group, 3)[wl1.block_ids]
     t = wl1.tile_ids
+    w1_pad = wl1.tile_ids.shape[0]
     mask2, entry2 = _mask_rows(ti.o_lo[t], ti.o_hi[t], ti.d_lo[t],
                                ti.d_hi[t], ti.t_hi[t], blo_g, bhi_g)
-    # Level-1 padding slots replay the last real item; gate their member
-    # cells off so the fine list carries no duplicates.
+    # Parent padding slots replay the last real item; gate their member
+    # cells off so the expanded list carries no duplicates.
     slot = jnp.arange(w1_pad, dtype=jnp.int32)
     mask2 = mask2 & (slot < wl1.count)[:, None]
     flat = mask2.reshape(-1)
     count2 = flat.sum().astype(jnp.int32)
     if w_pad is None:
         return None, count2
-    # Compact preserving the level-1 order: position is the sort key, so
+    # Compact preserving the parent order: position is the sort key, so
     # tile-major + front-to-back survive the expansion.
     pos = jnp.arange(w1_pad * group, dtype=jnp.int32)
     key = jnp.where(flat, pos, jnp.int32(2 ** 31 - 1))
@@ -313,17 +312,79 @@ def fine_worklist(ti: TileIntervals, mask1: jnp.ndarray, entry1: jnp.ndarray,
     s = jnp.arange(w_pad, dtype=jnp.int32)
     cell = jnp.where(s < count2, order, last)
     item, j = cell // group, cell % group
-    # Defensive clamp: an out-of-range block id means out-of-bounds DMA in
+    # Defensive clamp: an out-of-range member id means out-of-bounds DMA in
     # the kernels (a hard TPU fault, not an exception). The mask fix above
     # keeps phantom members out of `count2`; the clamp guarantees that even
-    # a future masking bug degrades to redundant work on a real block
+    # a future masking bug degrades to redundant work on a real member
     # (idempotent for both nearest and any-hit folds), never a fault.
     wl = WorkList(tile_ids=wl1.tile_ids[item],
                   block_ids=jnp.minimum(wl1.block_ids[item] * group + j,
-                                        nb - 1),
+                                        nm - 1),
                   entry=entry2.reshape(-1)[cell],
                   count=count2)
     return wl, count2
+
+
+def fine_worklist(ti: TileIntervals, mask1: jnp.ndarray, entry1: jnp.ndarray,
+                  count1, block_lo: jnp.ndarray, block_hi: jnp.ndarray,
+                  group: int, w1_pad: int, w_pad: Optional[int]):
+    """Level-2 cull: compact the (tile, superblock) mask and expand the
+    survivors into per-member-block tests (expand_worklist). Returns
+    (WorkList, count2); WorkList is None when w_pad is None (sizing)."""
+    wl1 = compact_worklist(mask1, w1_pad, entry=entry1, count=count1)
+    return expand_worklist(ti, wl1, block_lo, block_hi, group, w_pad)
+
+
+def level_bounds(block_lo: jnp.ndarray, block_hi: jnp.ndarray,
+                 groups: tuple):
+    """AABBs of every hierarchy level, finest first.
+
+    groups[k] unions level-k boxes into level-(k+1) boxes; returns
+    [(block_lo, block_hi), (sb_lo, sb_hi), ..., coarsest]. Computed on the
+    fly from the (possibly per-frame shifted) leaf AABBs, so the dynamic-
+    diff path stays exact at every level."""
+    out = [(block_lo, block_hi)]
+    lo, hi = block_lo, block_hi
+    for g in groups:
+        lo, hi = superblock_bounds(lo, hi, g)
+        out.append((lo, hi))
+    return out
+
+
+def multilevel_mask(ti: TileIntervals, block_lo: jnp.ndarray,
+                    block_hi: jnp.ndarray, groups: tuple):
+    """Top-level cull: (nTiles, n_coarsest) mask + entry vs the COARSEST
+    level of `groups`. groups=(g,) reproduces coarse_mask; (g, g) adds a
+    super-superblock level — at 49K leaf blocks (config 5) the flat
+    (tiles x superblocks) mask and its compaction argsort were ~20% of the
+    frame, and each extra level shrinks both by ~group x."""
+    lo, hi = level_bounds(block_lo, block_hi, groups)[-1]
+    m, e = block_mask_with_entry(ti, lo, hi)
+    return m, e, m.sum()
+
+
+def multilevel_worklist(ti: TileIntervals, mask: jnp.ndarray,
+                        entry: jnp.ndarray, count, block_lo: jnp.ndarray,
+                        block_hi: jnp.ndarray, groups: tuple, pads: tuple):
+    """Compact the coarsest mask and expand level by level down to leaf
+    blocks (the R-tree descent as array programs).
+
+    pads[0] sizes the top compaction; pads[k] sizes the k-th expansion.
+    A missing/None pad stops the walk (the sizing passes measure one level
+    per host sync). Returns (leaf WorkList or None, counts) where counts
+    holds every expansion's survivor count, coarsest-to-finest — callers
+    record them so frozen buckets can be verified per level."""
+    bounds = level_bounds(block_lo, block_hi, groups)
+    wl = compact_worklist(mask, pads[0], entry=entry, count=count)
+    counts = []
+    for i, k in enumerate(range(len(groups) - 1, -1, -1)):
+        pad = pads[i + 1] if i + 1 < len(pads) else None
+        lo, hi = bounds[k]
+        wl, c = expand_worklist(ti, wl, lo, hi, groups[k], pad)
+        counts.append(c)
+        if wl is None:
+            break
+    return wl, tuple(counts)
 
 
 def visited_tiles(wl: WorkList, n_tiles: int) -> jnp.ndarray:

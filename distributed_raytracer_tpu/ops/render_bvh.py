@@ -88,7 +88,8 @@ class CulledRenderer:
                  block_size: int = 128, ray_tile: int = 512,
                  interpret: bool = False, prebaked=None,
                  exit_every: Optional[int] = None, cull_group: int = 16,
-                 use_mxu: bool = False, tile_w: Optional[int] = None):
+                 use_mxu: bool = False, tile_w: Optional[int] = None,
+                 cull_levels: Optional[int] = None):
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
@@ -109,10 +110,12 @@ class CulledRenderer:
         # 128x128 systolic array and its operand staging stalls the VPU —
         # so VPU is the default; the MXU path stays available for A/B.
         self.use_mxu = use_mxu
-        # Two-level cull: `cull_group` consecutive Morton blocks form one
-        # superblock for the coarse mask (cull.coarse_mask/fine_worklist).
-        # At 49K blocks (config 5) the flat mask + its argsort dominated
-        # the frame; the hierarchy shrinks both by ~group x.
+        # Hierarchical cull: `cull_group` consecutive Morton blocks form a
+        # superblock; above ~768 superblocks a SECOND grouping level
+        # (super-superblocks) is added (cull.multilevel_mask/worklist) —
+        # at 49K blocks (config 5) the flat mask + its argsort dominated
+        # the frame, and each level shrinks both by ~group x. `groups` is
+        # set after the bake (it depends on the block count).
         self.cull_group = cull_group
         # Full-frame height for ray projection; the multi-chip band renderer
         # overrides this so each band's global pixel indices project with
@@ -136,15 +139,50 @@ class CulledRenderer:
         self.arrays_host: SceneArrays = arrays
         self.tree = tree   # kept for cheap re-instantiation via prebaked=
         tris16_np = bsr_trace.pack_tris(arrays)
-        table_np = shade.pack_table(arrays, xp=np)
         self.arrays: SceneArrays = jax.device_put(_slim_arrays(arrays))
-        self.tris_packed = jax.device_put(tris16_np)
-        # Stored TRANSPOSED (32, T): shading gathers along the lane axis
+        # Ship only the 12 REAL triangle columns and pad back to 16 on
+        # device (cols 12:16 are zeros by construction) — at config-5
+        # scale the pad columns alone are ~100 MB of tunneled upload.
+        self.tris_packed = jnp.pad(
+            jax.device_put(np.ascontiguousarray(tris16_np[:, :12])),
+            ((0, 0), (0, 4)))
+        # Shading table assembled ON DEVICE (shade.table_rows_device):
+        # only p0, the vertex normals (smooth bakes), and mat_id cross the
+        # host link; k_u/k_v/geo_n are already on device inside
+        # tris_packed and materials gather from the tiny tables. Stored
+        # TRANSPOSED (32, T): shading gathers along the lane axis
         # (shade.prepare_packed), avoiding a (C, 32) intermediate + layout
-        # copy per frame. Transposing here on the host is free.
-        self.shade_tbl = jax.device_put(np.ascontiguousarray(table_np.T))
+        # copy per frame.
+        flat_bake = (np.array_equal(arrays.n0, arrays.geo_n)
+                     and np.array_equal(arrays.n1, arrays.geo_n)
+                     and np.array_equal(arrays.n2, arrays.geo_n))
+        p0_t = jax.device_put(np.ascontiguousarray(
+            np.asarray(arrays.p0, np.float32).T))
+        n_t = None if flat_bake else jax.device_put(np.ascontiguousarray(
+            np.concatenate([np.asarray(arrays.n0, np.float32).T,
+                            np.asarray(arrays.n1, np.float32).T,
+                            np.asarray(arrays.n2, np.float32).T])))
+        mat_id_dev = jax.device_put(np.asarray(arrays.mat_id, np.int32))
+        self.shade_tbl = shade.table_rows_device(
+            self.tris_packed, p0_t, n_t, mat_id_dev, self.arrays.mat_ka,
+            self.arrays.mat_kd, self.arrays.mat_ks, self.arrays.mat_ns)
         self.block_lo = jnp.asarray(tree.block_lo)
         self.block_hi = jnp.asarray(tree.block_hi)
+        # Hierarchy depth: one grouping level normally; two when the
+        # superblock count itself is large enough that the top mask +
+        # compaction argsort would dominate (threshold in superblocks).
+        # `cull_levels` (2 or 3) overrides the auto choice (tests exercise
+        # the 3-level walk on small scenes; A/B measurement).
+        nsb = -(-tree.num_blocks // cull_group)
+        if cull_levels is None:
+            cull_levels = 3 if nsb > 768 else 2
+        self.groups = (cull_group,) * (cull_levels - 1)
+        # Count-vector layout: per-level primary counts (top mask count +
+        # one per expansion), the hit-tile count, then the shadow counts
+        # in the same level layout. For groups=(g,) this is exactly the
+        # historical (c1, c2, ht, sc1, sc2).
+        self.n_levels = len(self.groups) + 1
+        self._ht_idx = self.n_levels              # index of ht in counts
         n_lights = int(arrays.light_pos.shape[0])
         if self.use_mxu:
             # MXU direction matrix A = [n; k_u; k_v] per block (static — it
@@ -235,24 +273,39 @@ class CulledRenderer:
                                       perm)
         rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)
         ti = cull.tile_intervals_packed(rays, self.rt, live=live)
-        mask1, entry1, c1 = cull.coarse_mask(ti, block_lo, block_hi,
-                                             self.cull_group)
+        mask1, entry1, c1 = cull.multilevel_mask(ti, block_lo, block_hi,
+                                                 self.groups)
         return rays, ti, mask1, entry1, c1
 
-    def _count_fine(self, w1_pad: int):
-        """Jitted fine-cell counter for the sizing renders (shared by the
-        primary and shadow masks — jax.jit retraces per input shape)."""
-        fn = self._count_fine_cache.get(w1_pad)
+    def _count_next(self, pads: tuple):
+        """Jitted next-level survivor counter for the sizing renders
+        (shared by the primary and shadow masks — retraces per shape).
+        `pads` holds the already-sized buckets; the return is the count of
+        the FIRST unsized level below them."""
+        key = ("count", pads)
+        fn = self._count_fine_cache.get(key)
         if fn is None:
             def count_fn(block_lo, block_hi, ti, mask1, entry1, c1):
                 m = mask1.reshape(-1, mask1.shape[-1])
                 e = entry1.reshape(-1, entry1.shape[-1])
-                _, c2 = cull.fine_worklist(ti, m, e, c1, block_lo, block_hi,
-                                           self.cull_group, w1_pad, None)
-                return c2
+                _, counts = cull.multilevel_worklist(
+                    ti, m, e, c1, block_lo, block_hi, self.groups, pads)
+                return counts[-1]
             fn = jax.jit(count_fn)
-            self._count_fine_cache[w1_pad] = fn
+            self._count_fine_cache[key] = fn
         return fn
+
+    def _size_pads(self, ti, mask, entry, c_top, block_lo, block_hi):
+        """Walk the hierarchy with one host sync per level: returns
+        (pads tuple len n_levels, counts tuple len n_levels)."""
+        counts = [int(c_top)]
+        pads = [_bucket(counts[0])]
+        for _ in range(len(self.groups)):
+            c = self._count_next(tuple(pads))(block_lo, block_hi, ti, mask,
+                                              entry, c_top)
+            counts.append(int(c))
+            pads.append(_bucket(counts[-1]))
+        return tuple(pads), tuple(counts)
 
     def per_tile_cells(self, camera) -> np.ndarray:
         """(n_tiles,) int32: fine-level cull cells per ray tile for this
@@ -260,23 +313,21 @@ class CulledRenderer:
         (parallel/render_sharded_bvh, the least-loaded-scheduler analog of
         master/pool/pool.go:148-197) sums these per tile row to size band
         heights so every device schedules ~equal pairs. Sizing-time only
-        (one host sync; the scatter-add is small)."""
+        (one host sync per level; the scatter-add is small)."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         _, ti, mask1, entry1, c1 = self._stage_a(
             cam, self._perm, self.block_lo, self.block_hi, self._live)
-        w1_pad = _bucket(int(c1))
-        c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
-                                      mask1, entry1, c1)
-        w_pad = _bucket(int(c2))
-        key = ("per_tile", w1_pad, w_pad)
+        pads, _ = self._size_pads(ti, mask1, entry1, c1,
+                                  self.block_lo, self.block_hi)
+        key = ("per_tile", pads)
         fn = self._count_fine_cache.get(key)
         if fn is None:
             def per_tile_fn(block_lo, block_hi, ti, mask1, entry1, c1):
                 m = mask1.reshape(-1, mask1.shape[-1])
                 e = entry1.reshape(-1, entry1.shape[-1])
-                wl, _ = cull.fine_worklist(ti, m, e, c1, block_lo, block_hi,
-                                           self.cull_group, w1_pad, w_pad)
-                real = (jnp.arange(w_pad, dtype=jnp.int32)
+                wl, _ = cull.multilevel_worklist(
+                    ti, m, e, c1, block_lo, block_hi, self.groups, pads)
+                real = (jnp.arange(pads[-1], dtype=jnp.int32)
                         < wl.count).astype(jnp.int32)
                 return jnp.zeros((self.n_tiles,), jnp.int32
                                  ).at[wl.tile_ids].add(real)
@@ -287,20 +338,22 @@ class CulledRenderer:
 
     # -- stage B: nearest hit + shadow masks -----------------------------
 
-    def _nearest(self, w1_pad, w_pad, scene, tris_packed, rays, exclude,
+    def _nearest(self, pads, scene, tris_packed, rays, exclude,
                  block_lo, block_hi, ti, mask1, entry1, c1,
                  shared_origin=False):
-        """Two-level compaction + BSR nearest. Returns (Hits, c2).
+        """Multi-level compaction + BSR nearest. Returns (Hits, expansion
+        counts tuple).
 
         Pallas output blocks of ray tiles absent from the work list are
         never written (undefined memory), so results are masked by the
         EXACT visited set (cull.visited_tiles) — unvisited means the cull
         proved no block can be hit, so nearest=inf by construction."""
-        wl, c2 = cull.fine_worklist(ti, mask1, entry1, c1, block_lo,
-                                    block_hi, self.cull_group, w1_pad, w_pad)
+        wl, counts = cull.multilevel_worklist(ti, mask1, entry1, c1,
+                                              block_lo, block_hi,
+                                              self.groups, pads)
         best_t, best_i = bsr_trace.bsr_nearest(
             rays, exclude, tris_packed, wl.tile_ids, wl.block_ids,
-            wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=w_pad,
+            wl.entry, wl.count, rt=self.rt, tb=self.tb, w_pad=pads[-1],
             interpret=self.interpret, shared_origin=shared_origin,
             exit_every=self.exit_every)
         visited = jnp.repeat(cull.visited_tiles(wl, self.n_tiles), self.rt)
@@ -308,7 +361,7 @@ class CulledRenderer:
         hits = intersect.Hits(t=best_t,
                               tri=jnp.minimum(best_i, scene.p0.shape[0] - 1),
                               valid=jnp.isfinite(best_t))
-        return hits, c2
+        return hits, counts
 
     def _light_masks(self, prep, live_l, block_lo, block_hi):
         """Per-light coarse cull masks for the shadow queries, plus the
@@ -323,26 +376,28 @@ class CulledRenderer:
         for li in range(n_lights):
             ti = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
                                             live=live_l[li], use_tmax=True)
-            m, e, _ = cull.coarse_mask(ti, block_lo, block_hi,
-                                       self.cull_group)
+            m, e, _ = cull.multilevel_mask(ti, block_lo, block_hi,
+                                           self.groups)
             tis.append(ti)
             smasks.append(m)
             sentries.append(e)
-        nsb = -(-block_lo.shape[0] // self.cull_group)
+        ntop = block_lo.shape[0]
+        for g in self.groups:
+            ntop = -(-ntop // g)
         if not n_lights:
             empty_ti = cull.TileIntervals(
                 *(jnp.zeros((0, 3), jnp.float32),) * 4,
                 t_hi=jnp.zeros((0,), jnp.float32))
-            return (empty_ti, jnp.zeros((0, nt, nsb), bool),
-                    jnp.zeros((0, nt, nsb), jnp.float32))
+            return (empty_ti, jnp.zeros((0, nt, ntop), bool),
+                    jnp.zeros((0, nt, ntop), jnp.float32))
         sti = cull.TileIntervals(*(jnp.concatenate(
             [getattr(t, f) for t in tis]) for f in cull.TileIntervals._fields))
         return sti, jnp.stack(smasks), jnp.stack(sentries)
 
-    def _stage_b1_fn(self, w1_pad: int, w_pad: int, scene: SceneArrays,
+    def _stage_b1_fn(self, pads: tuple, scene: SceneArrays,
                      tris_packed, tris_dirs, block_lo, block_hi,
                      rays, ti, mask1, entry1, c1):
-        """Primary nearest hit only. Returns (hits, hcount, c2)."""
+        """Primary nearest hit only. Returns (hits, hcount, counts)."""
         no_excl = jnp.full((self.n_pad,), -1, jnp.int32)
         # Primary rays share the camera origin (rays rows 0..2 are a
         # broadcast of cam.pos): fold it into the per-triangle columns each
@@ -353,13 +408,13 @@ class CulledRenderer:
             tris_cam = (tris_dirs, scal_cam)
         else:
             tris_cam = bsr_trace.pack_tris_origin(tris_packed, rays[0:3, 0])
-        hits, c2 = self._nearest(w1_pad, w_pad, scene,
-                                 tris_cam, rays, no_excl,
-                                 block_lo, block_hi, ti, mask1, entry1, c1,
-                                 shared_origin=True)
+        hits, counts = self._nearest(pads, scene,
+                                     tris_cam, rays, no_excl,
+                                     block_lo, block_hi, ti, mask1, entry1,
+                                     c1, shared_origin=True)
         n_tiles = hits.valid.shape[0] // self.rt
         ht = hits.valid.reshape(n_tiles, self.rt).any(axis=1).sum()
-        return hits, ht.astype(jnp.int32), c2
+        return hits, ht.astype(jnp.int32), counts
 
     def _stage_b2_fn(self, ht_pad: int, scene: SceneArrays, shade_tbl,
                      block_lo, block_hi, rays, hits):
@@ -411,28 +466,30 @@ class CulledRenderer:
 
     # -- stage C: shadow queries + shading -------------------------------
 
-    def _lit(self, w1_pad_sh: int, w_pad_sh: int, tris_dirs, lights_scal,
+    def _lit(self, s_pads: tuple, tris_dirs, lights_scal,
              block_lo, block_hi, prep, hits, live_l, sti, smasks, sentries,
              sc1):
         """All lights' shadow queries in ONE bsr_any launch: the (light,
-        tile) pairs become the tile axis of a single two-level work list
+        tile) pairs become the tile axis of a single multi-level work list
         (one compaction, one kernel, one set of padding slots instead of
         one each per light). Dead rays (per-light: misses + zero-potential-
         contribution, shade.light_gates) pre-seed the accumulator as 'hit'
         so fully-occluded tiles early-exit on live rays alone.
-        Returns (lit (L, n_pad) bool, sc2)."""
+        Returns (lit (L, n_pad) bool, shadow expansion counts)."""
         n_lights = prep.q.shape[0]
         r = prep.q_rev.shape[2] if n_lights else self.n_pad
         if n_lights == 0:
-            return jnp.zeros((0, r), bool), jnp.int32(0)
+            return (jnp.zeros((0, r), bool),
+                    (jnp.int32(0),) * len(self.groups))
         n_tiles = r // self.rt
         nb = block_lo.shape[0]
         n_tris = nb * self.tb
         mask = smasks.reshape(n_lights * n_tiles, -1)
         entry = sentries.reshape(n_lights * n_tiles, -1)
-        wl, sc2 = cull.fine_worklist(sti, mask, entry, sc1, block_lo,
-                                     block_hi, self.cull_group, w1_pad_sh,
-                                     w_pad_sh)
+        wl, s_counts = cull.multilevel_worklist(sti, mask, entry, sc1,
+                                                block_lo, block_hi,
+                                                self.groups, s_pads)
+        w_pad_sh = s_pads[-1]
         q = prep.q_rev.transpose(1, 0, 2).reshape(8, n_lights * r)
         # Each light's rays share its origin; the per-light origin-folded
         # scalar rows sit at block offset light*nb (row light*T). The MXU
@@ -458,9 +515,9 @@ class CulledRenderer:
         visited = cull.visited_tiles(wl, n_lights * n_tiles)
         visited = jnp.repeat(visited.reshape(n_lights, n_tiles),
                              self.rt, axis=1)
-        return jnp.where(visited, hit == 0, True), sc2
+        return jnp.where(visited, hit == 0, True), s_counts
 
-    def _stage_c_fn(self, w1_pad_sh: int, w_pad_sh: int, scene: SceneArrays,
+    def _stage_c_fn(self, s_pads: tuple, scene: SceneArrays,
                     tris_dirs, lights_scal, block_lo, block_hi,
                     cam: CameraArrays, tpos, hit_tile, hits_h, prep, live_l,
                     sti, smasks, sentries, sc1):
@@ -468,9 +525,9 @@ class CulledRenderer:
         by a tile-granular GATHER (per-element scatters serialize on
         TPU): output tile j reads compact tile tpos[j] if it had any hit,
         else black."""
-        lit, sc2 = self._lit(w1_pad_sh, w_pad_sh, tris_dirs, lights_scal,
-                             block_lo, block_hi, prep, hits_h, live_l, sti,
-                             smasks, sentries, sc1)
+        lit, s_counts = self._lit(s_pads, tris_dirs, lights_scal,
+                                  block_lo, block_hi, prep, hits_h, live_l,
+                                  sti, smasks, sentries, sc1)
         colours_h = shade.shade_core_packed(scene, cam.pos, prep, hits_h,
                                             lit)                 # (3, H)
         rt = self.rt
@@ -479,7 +536,7 @@ class CulledRenderer:
         cols = colours_h.reshape(3, ht_pad, rt)[:, src_t, :]   # (3, nt, rt)
         colours = jnp.where(hit_tile[None, :, None], cols,
                             0.0).reshape(3, self.n_pad)
-        return self._assemble(colours), sc2
+        return self._assemble(colours), s_counts
 
     # -- multi-bounce stages ---------------------------------------------
     #
@@ -508,20 +565,20 @@ class CulledRenderer:
         # tiles but contributes nothing (throughput is zeroed).
         live = hits.valid & jnp.any(prep.ks > 0.0, axis=0)
         ti = cull.tile_intervals_packed(r_rays, self.rt, live=live)
-        mask1, entry1, c1 = cull.coarse_mask(ti, self.block_lo,
-                                             self.block_hi, self.cull_group)
+        mask1, entry1, c1 = cull.multilevel_mask(ti, self.block_lo,
+                                                 self.block_hi, self.groups)
         return r_rays, live, ti, mask1, entry1, c1
 
-    def _stage_bounce_fn(self, w1_pad: int, w_pad: int, scene: SceneArrays,
+    def _stage_bounce_fn(self, p_pads: tuple, scene: SceneArrays,
                          tris_packed, shade_tbl, block_lo, block_hi, rays,
                          exclude, ti, mask1, entry1, c1, view):
         """Nearest + shadow masks for an arbitrary packed ray set; also
         emits the next bounce's reflection query. `view` is the viewer the
         shading stage will use (the camera, or the previous hit points) —
         needed here so the light gates match the shading exactly."""
-        hits, c2 = self._nearest(w1_pad, w_pad, scene, tris_packed, rays,
-                                 exclude, block_lo, block_hi, ti, mask1,
-                                 entry1, c1)
+        hits, p_counts = self._nearest(p_pads, scene, tris_packed, rays,
+                                       exclude, block_lo, block_hi, ti,
+                                       mask1, entry1, c1)
         prep = shade.prepare_packed(scene, rays, hits, self.cfg,
                                     table=shade_tbl)
         live_l = shade.light_gates(scene, view, prep, hits.valid)
@@ -529,19 +586,20 @@ class CulledRenderer:
                                                   block_lo, block_hi)
         r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1 = \
             self._reflection_query(prep, hits, rays)
-        return (hits, prep, live_l, sti, smasks, sentries, smasks.sum(), c2,
-                r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1)
+        return (hits, prep, live_l, sti, smasks, sentries, smasks.sum(),
+                p_counts, r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1)
 
-    def _stage_shade_fn(self, w1_pad_sh: int, w_pad_sh: int,
+    def _stage_shade_fn(self, s_pads: tuple,
                         scene: SceneArrays, tris_dirs, lights_scal,
                         block_lo, block_hi, view, hits, prep, live_l, sti,
                         smasks, sentries, sc1):
         """Fused shadow query + phong for one bounce -> ((3, C) local
-        radiance rows (not yet throughput-weighted), sc2)."""
-        lit, sc2 = self._lit(w1_pad_sh, w_pad_sh, tris_dirs, lights_scal,
-                             block_lo, block_hi, prep, hits, live_l, sti,
-                             smasks, sentries, sc1)
-        return shade.shade_core_packed(scene, view, prep, hits, lit), sc2
+        radiance rows (not yet throughput-weighted), shadow counts)."""
+        lit, s_counts = self._lit(s_pads, tris_dirs, lights_scal,
+                                  block_lo, block_hi, prep, hits, live_l,
+                                  sti, smasks, sentries, sc1)
+        return (shade.shade_core_packed(scene, view, prep, hits, lit),
+                s_counts)
 
     def render_bounced(self, camera, depth: int, block: bool = False):
         """Whitted multi-bounce render on the block-sparse path."""
@@ -564,30 +622,25 @@ class CulledRenderer:
         counts_used = []
 
         for b in range(depth + 1):
-            w1_pad = _bucket(int(c1))
-            c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
-                                          mask1, entry1, c1)
-            w_pad = _bucket(int(c2))
+            p_pads, p_counts = self._size_pads(ti, mask1, entry1, c1,
+                                               self.block_lo, self.block_hi)
             if b == 0:
-                self._resolve_exit(int(c2))
+                self._resolve_exit(p_counts[-1])
             sb = jit_for(self._stage_b_cache,
-                         ("bounce", w1_pad, w_pad, self.exit_every),
-                         self._stage_bounce_fn, w1_pad, w_pad)
+                         ("bounce", p_pads, self.exit_every),
+                         self._stage_bounce_fn, p_pads)
             (hits, prep, live_l, sti, smasks, sentries, sc1, _,
              r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1) = sb(
                 self.arrays, self.tris_packed, self.shade_tbl,
                 self.block_lo, self.block_hi, rays, exclude, ti, mask1,
                 entry1, c1, view)
-            w1_pad_sh = _bucket(int(sc1))
-            sc2 = self._count_fine(w1_pad_sh)(self.block_lo, self.block_hi,
-                                              sti, smasks, sentries, sc1)
-            w_pad_sh = _bucket(int(sc2))
-            pads_used.append((w1_pad, w_pad, w1_pad_sh, w_pad_sh))
-            counts_used.append((int(c1), int(c2), int(sc1), int(sc2)))
+            s_pads, s_counts = self._size_pads(sti, smasks, sentries, sc1,
+                                               self.block_lo, self.block_hi)
+            pads_used.append(p_pads + s_pads)
+            counts_used.append(p_counts + s_counts)
             sc = jit_for(self._stage_c_cache,
-                         ("shade", b > 0, w1_pad_sh, w_pad_sh,
-                          self.exit_every),
-                         self._stage_shade_fn, w1_pad_sh, w_pad_sh)
+                         ("shade", b > 0, s_pads, self.exit_every),
+                         self._stage_shade_fn, s_pads)
             local, _ = sc(self.arrays, self.tris_dirs, self.lights_scal,
                           self.block_lo, self.block_hi, view, hits, prep,
                           live_l, sti, smasks, sentries, sc1)
@@ -617,11 +670,11 @@ class CulledRenderer:
                          block_hi, perm, cam: CameraArrays):
         """Fused multi-bounce pipeline with fixed buckets (no host syncs).
 
-        Also returns the true per-bounce work counts as a (B, 4) int32
-        array [(coarse/fine primary, coarse/fine shadow cells) per bounce]
-        so callers — including the sharded band renderer — can verify the
-        frozen buckets still hold and refreeze on overflow instead of
-        silently dropping candidate blocks.
+        Also returns the true per-bounce work counts as a (B, 2*n_levels)
+        int32 array [per-level primary cells, then per-level shadow cells,
+        per bounce] so callers — including the sharded band renderer — can
+        verify the frozen buckets still hold and refreeze on overflow
+        instead of silently dropping candidate blocks.
         """
         rays, ti, mask1, entry1, c1 = self._stage_a_fn(cam, perm, block_lo,
                                                        block_hi)
@@ -630,18 +683,21 @@ class CulledRenderer:
         view = cam.pos
         exclude = jnp.full((self.n_pad,), -1, jnp.int32)
         counts = []
-        for b, (w1_pad, w_pad, w1_pad_sh, w_pad_sh) in enumerate(pads):
-            (hits, prep, live_l, sti, smasks, sentries, sc1, c2,
+        nl = self.n_levels
+        for b, b_pads in enumerate(pads):
+            p_pads, s_pads = b_pads[:nl], b_pads[nl:]
+            (hits, prep, live_l, sti, smasks, sentries, sc1, p_counts,
              r_rays, _, r_ti, r_mask1, r_entry1, r_c1) = \
                 self._stage_bounce_fn(
-                    w1_pad, w_pad, scene, tris_packed, shade_tbl, block_lo,
+                    p_pads, scene, tris_packed, shade_tbl, block_lo,
                     block_hi, rays, exclude, ti, mask1, entry1, c1, view)
-            local, sc2 = self._stage_shade_fn(
-                w1_pad_sh, w_pad_sh, scene, tris_dirs, lights_scal,
+            local, s_counts = self._stage_shade_fn(
+                s_pads, scene, tris_dirs, lights_scal,
                 block_lo, block_hi, view, hits, prep, live_l, sti, smasks,
                 sentries, sc1)
             colour = colour + throughput * local
-            counts.append(jnp.stack([c1, c2, sc1, sc2]).astype(jnp.int32))
+            counts.append(jnp.stack([c1, *p_counts, sc1, *s_counts]
+                                    ).astype(jnp.int32))
             if b + 1 == len(pads):
                 break
             throughput = jnp.where(hits.valid[None, :],
@@ -689,7 +745,7 @@ class CulledRenderer:
                 fits = False
                 for _ in range(8):
                     got = np.asarray(counts)
-                    if not any(any(g[k] > p[k] for k in range(4))
+                    if not any(any(g[k] > p[k] for k in range(len(p)))
                                for g, p in zip(got, state["pads"])):
                         fits = True
                         break
@@ -725,17 +781,14 @@ class CulledRenderer:
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         rays, ti, mask1, entry1, c1 = self._stage_a(
             cam, self._perm, self.block_lo, self.block_hi, self._live)
-        w1_pad = _bucket(int(c1))
-        c2 = self._count_fine(w1_pad)(self.block_lo, self.block_hi, ti,
-                                      mask1, entry1, c1)
-        w_pad = _bucket(int(c2))
-        self._resolve_exit(int(c2))
+        p_pads, p_counts = self._size_pads(ti, mask1, entry1, c1,
+                                           self.block_lo, self.block_hi)
+        self._resolve_exit(p_counts[-1])
 
-        key = (w1_pad, w_pad, self.exit_every)
+        key = (p_pads, self.exit_every)
         stage_b1 = self._stage_b_cache.get(key)
         if stage_b1 is None:
-            stage_b1 = jax.jit(functools.partial(self._stage_b1_fn, w1_pad,
-                                                 w_pad))
+            stage_b1 = jax.jit(functools.partial(self._stage_b1_fn, p_pads))
             self._stage_b_cache[key] = stage_b1
         hits, hcount, _ = stage_b1(
             self.arrays, self.tris_packed, self.tris_dirs,
@@ -751,21 +804,17 @@ class CulledRenderer:
          sc1, ht_count) = stage_b2(self.arrays, self.shade_tbl,
                                    self.block_lo, self.block_hi, rays, hits)
 
-        w1_pad_sh = _bucket(int(sc1))
-        sc2 = self._count_fine(w1_pad_sh)(self.block_lo, self.block_hi,
-                                          sti, smasks, sentries, sc1)
-        w_pad_sh = _bucket(int(sc2))
-        ckey = (w1_pad_sh, w_pad_sh, ht_pad, self.exit_every)
+        s_pads, s_counts = self._size_pads(sti, smasks, sentries, sc1,
+                                           self.block_lo, self.block_hi)
+        ckey = (s_pads, ht_pad, self.exit_every)
         stage_c = self._stage_c_cache.get(ckey)
         if stage_c is None:
-            stage_c = jax.jit(functools.partial(self._stage_c_fn, w1_pad_sh,
-                                                w_pad_sh))
+            stage_c = jax.jit(functools.partial(self._stage_c_fn, s_pads))
             self._stage_c_cache[ckey] = stage_c
         img, _ = stage_c(self.arrays, self.tris_dirs, self.lights_scal,
                          self.block_lo, self.block_hi, cam, tpos, hit_tile,
                          hits_h, prep, live_l, sti, smasks, sentries, sc1)
-        self._last_counts = (int(c1), int(c2), int(ht_count), int(sc1),
-                             int(sc2))
+        self._last_counts = p_counts + (int(ht_count),) + s_counts
         if block:
             jax.block_until_ready(img)
         return img
@@ -780,23 +829,27 @@ class CulledRenderer:
     # should be used periodically / during warmup to confirm margins hold;
     # on overflow freeze() is simply called again with the new counts.
 
-    def _full_fn(self, w1_pad: int, w_pad: int, h_pad: int, w1_pad_sh: int,
-                 w_pad_sh: int, scene: SceneArrays,
+    def _full_fn(self, pads: tuple, scene: SceneArrays,
                  tris_packed, tris_dirs, lights_scal, shade_tbl, block_lo,
                  block_hi, perm, cam: CameraArrays, live=None):
+        """pads layout == the counts layout: per-level primary buckets
+        (n_levels), the hit-tile bucket, per-level shadow buckets."""
+        nl = self.n_levels
+        p_pads, h_pad, s_pads = pads[:nl], pads[nl], pads[nl + 1:]
         rays, ti, mask1, entry1, c1 = self._stage_a_fn(cam, perm, block_lo,
                                                        block_hi, live)
-        hits, hcount, c2 = self._stage_b1_fn(
-            w1_pad, w_pad, scene, tris_packed, tris_dirs,
+        hits, hcount, p_counts = self._stage_b1_fn(
+            p_pads, scene, tris_packed, tris_dirs,
             block_lo, block_hi, rays, ti, mask1, entry1, c1)
         (tpos, hit_tile, hits_h, prep, live_l, sti, smasks, sentries,
          sc1, ht_count) = self._stage_b2_fn(h_pad, scene, shade_tbl,
                                             block_lo, block_hi, rays, hits)
-        img, sc2 = self._stage_c_fn(
-            w1_pad_sh, w_pad_sh, scene, tris_dirs, lights_scal, block_lo,
+        img, s_counts = self._stage_c_fn(
+            s_pads, scene, tris_dirs, lights_scal, block_lo,
             block_hi, cam, tpos, hit_tile, hits_h, prep, live_l, sti,
             smasks, sentries, sc1)
-        counts = jnp.stack([c1, c2, ht_count, sc1, sc2]).astype(jnp.int32)
+        counts = jnp.stack([c1, *p_counts, ht_count, sc1, *s_counts]
+                           ).astype(jnp.int32)
         return img, counts
 
     def freeze(self, camera=None, margin: float = 1.4) -> None:
@@ -807,12 +860,13 @@ class CulledRenderer:
                 raise ValueError("freeze() needs a camera for the sizing render")
             self.render(camera, block=True)
         pads = tuple(_bucket(c, margin) for c in self._last_counts)
-        # Slot 2 is the hit-TILE bucket (its own small granularity, capped
-        # at n_tiles so overflow is structurally impossible at the cap).
-        pads = (pads[:2]
-                + (_tile_bucket(int(self._last_counts[2] * margin),
+        # The hit-TILE bucket has its own small granularity, capped at
+        # n_tiles so overflow is structurally impossible at the cap.
+        hi = self._ht_idx
+        pads = (pads[:hi]
+                + (_tile_bucket(int(self._last_counts[hi] * margin),
                                 self.n_tiles),)
-                + pads[3:])
+                + pads[hi + 1:])
         # Grow-only: a refreeze must never SHRINK a bucket. The verify
         # loops rebuild pads from the latest reported counts; without the
         # max a bucket could oscillate between rounds and the "each round
@@ -820,8 +874,49 @@ class CulledRenderer:
         prev = getattr(self, "_frozen_pads", None)
         if prev is not None:
             pads = tuple(max(p, q) for p, q in zip(pads, prev))
-        self._fused = jax.jit(functools.partial(self._full_fn, *pads))
+        self._fused = jax.jit(functools.partial(self._full_fn, pads))
         self._frozen_pads = pads
+
+    def render_many(self, cameras):
+        """Render a BATCH of camera poses in ONE device dispatch.
+
+        jax.lax.scan over the stacked camera pytree with the frozen
+        buckets: frames still compute sequentially on the chip (identical
+        images to render_fast), but the per-dispatch host cost — ~1.2 ms
+        of tunnel/dispatch structure per call on this remote-TPU setup,
+        ~45% of a 2.7 ms frame at 640x480 — is paid once per batch
+        instead of once per frame. This is the THROUGHPUT path (benchmark
+        sweeps, offline animation rendering); the interactive loop keeps
+        per-frame dispatches for latency. Returns (imgs (K, H, W, 3),
+        counts (K, n_counts)) on device; callers should spot-check counts
+        against frozen_pads as render_fast(verify=True) does.
+        """
+        cams = [c.to_arrays() if isinstance(c, Camera) else c
+                for c in cameras]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        if self._fused is None:
+            self.freeze(cameras[0])
+        key = ("many", self._frozen_pads)
+        fn = self._stage_b_cache.get(key)
+        if fn is None:
+            pads = self._frozen_pads
+
+            def many_fn(scene, tris_packed, tris_dirs, lights_scal,
+                        shade_tbl, block_lo, block_hi, perm, cams):
+                def body(carry, cam):
+                    img, counts = self._full_fn(
+                        pads, scene, tris_packed, tris_dirs, lights_scal,
+                        shade_tbl, block_lo, block_hi, perm, cam)
+                    return carry, (img, counts)
+
+                _, (imgs, counts) = jax.lax.scan(body, 0, cams)
+                return imgs, counts
+
+            fn = jax.jit(many_fn)
+            self._stage_b_cache[key] = fn
+        return fn(self.arrays, self.tris_packed, self.tris_dirs,
+                  self.lights_scal, self.shade_tbl, self.block_lo,
+                  self.block_hi, self._perm, stacked)
 
     def render_fast(self, camera, verify: bool = False):
         """One fused dispatch, no host syncs. Returns a device array; with

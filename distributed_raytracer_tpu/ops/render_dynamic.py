@@ -102,7 +102,7 @@ class DynamicCulledRenderer(CulledRenderer):
         # AABBs inside the cull, so the two-level hierarchy stays exact).
         (scene_d, tris16_d, lights_scal_d, table32_d, blo_d,
          bhi_d) = self._apply_diff(scene, tris16, table32, blo, bhi, diff)
-        return self._full_fn(*pads, scene_d, tris16_d, tris_dirs,
+        return self._full_fn(pads, scene_d, tris16_d, tris_dirs,
                              lights_scal_d, table32_d, blo_d, bhi_d, perm,
                              cam)
 

@@ -73,6 +73,42 @@ _TBL = {"p0": 0, "k_u": 3, "k_v": 6, "n0": 9, "n1": 12, "n2": 15,
 TABLE_WIDTH = 32
 
 
+@jax.jit
+def table_rows_device(tris16, p0_t, n_t, mat_id, mat_ka, mat_kd, mat_ks,
+                      mat_ns) -> jnp.ndarray:
+    """pack_table().T assembled ON DEVICE — the multi-million-triangle
+    transfer saver.
+
+    Of the 32 table columns, 9 (k_u, k_v, geo_n) are bitwise copies or a
+    pure function of the packed triangle columns the kernels already hold
+    on device, and 10 (materials) gather from tiny per-material tables; so
+    only p0 (3), the vertex normals (9, smooth meshes only — flat bakes
+    have n == geo_n and pass n_t=None), and mat_id (1 int32) cross the
+    host link: ~27% of the full (32, T) f32 table. At config-5 scale
+    (6.3M slots) that cuts ~500 MB off a ~1.2 GB tunneled device upload.
+
+    tris16: (T, 16) bsr_trace.pack_tris columns (device); p0_t (3, T);
+    n_t (9, T) stacked n0/n1/n2 rows or None; mat tables as in SceneArrays.
+    Returns the (32, T) transposed table shade.prepare_packed consumes.
+    """
+    t = tris16.shape[0]
+    geo = tris16[:, 0:3].T                       # (3, T) raw face normals
+    glen = jnp.sqrt(jnp.sum(geo * geo, axis=0, keepdims=True))
+    geo_unit = geo / jnp.where(glen > 0.0, glen, 1.0)
+    ku = tris16[:, 4:7].T
+    kv = tris16[:, 8:11].T
+    if n_t is None:                              # flat bake: n == geo_n
+        n_t = jnp.concatenate([geo, geo, geo], axis=0)
+    mat = jnp.clip(mat_id, 0, mat_ka.shape[0] - 1)
+    ka = mat_ka[mat].T
+    kd = mat_kd[mat].T
+    ks = mat_ks[mat].T
+    ns = mat_ns[mat][None, :]
+    zero = jnp.zeros((1, t), jnp.float32)
+    return jnp.concatenate([p0_t, ku, kv, n_t, geo_unit, ka, kd, ks, ns,
+                            zero], axis=0)
+
+
 def pack_table(scene: SceneArrays, xp=jnp) -> jnp.ndarray:
     """(T, 32) float32 per-triangle shading rows (static per scene).
 

@@ -166,14 +166,14 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
         return b._last_counts               # (c1, c2, sc1, sc2)
 
     counts = size_bands(measure)
-    n_counts = len(counts[0])          # (c1, c2, hit_tiles, sc1, sc2)
+    n_counts = len(counts[0])     # per-level primary, hit tiles, shadow
+    hi = band._ht_idx             # the band's hit-TILE bucket slot
     pads0 = tuple(_bucket(max(c[k] for c in counts), margin)
                   for k in range(n_counts))
-    # slot 2 is the band's hit-TILE bucket (capped at the band tile count)
-    ht = max(c[2] for c in counts)
-    buckets = {"pads": pads0[:2]
+    ht = max(c[hi] for c in counts)
+    buckets = {"pads": pads0[:hi]
                + (_tile_bucket(int(ht * margin), band.n_tiles),)
-               + pads0[3:]}
+               + pads0[hi + 1:]}
 
     def make_fn(pads):
         def shard_fn(scene_arrays, tris_packed, tris_dirs, lights_scal,
@@ -181,7 +181,7 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
             me = jax.lax.axis_index(AXIS)
             my_perm = _band_perm(perm, me, h_band, width, height)
             img, counts = band._full_fn(
-                *pads, scene_arrays, tris_packed, tris_dirs,
+                pads, scene_arrays, tris_packed, tris_dirs,
                 lights_scal, shade_tbl, block_lo, block_hi, my_perm, cam)
             return img, counts[None]            # (h_band, W, 3), (1, n_counts)
         return shard_fn
@@ -193,8 +193,8 @@ def make_sharded_culled_renderer(scene: Scene, width: int, height: int,
             return None
         new = [max(p, _bucket(int(w), margin))
                for p, w in zip(buckets["pads"], worst)]
-        new[2] = max(buckets["pads"][2],
-                     _tile_bucket(int(worst[2] * margin), band.n_tiles))
+        new[hi] = max(buckets["pads"][hi],
+                      _tile_bucket(int(worst[hi] * margin), band.n_tiles))
         buckets["pads"] = tuple(new)
         return make_fn(buckets["pads"])
 
@@ -297,12 +297,13 @@ def make_balanced_culled_renderer(scene: Scene, width: int, height: int,
 
     counts = size_bands(starts_np, rows_np)
     n_counts = len(counts[0])
+    hi = band._ht_idx
     pads0 = tuple(_bucket(max(c[k] for c in counts), margin)
                   for k in range(n_counts))
-    ht = max(c[2] for c in counts)
-    buckets = {"pads": pads0[:2]
+    ht = max(c[hi] for c in counts)
+    buckets = {"pads": pads0[:hi]
                + (_tile_bucket(int(ht * margin), band.n_tiles),)
-               + pads0[3:]}
+               + pads0[hi + 1:]}
 
     state = {
         "row_start": jax.device_put(jnp.asarray(starts_np)),
@@ -322,7 +323,7 @@ def make_balanced_culled_renderer(scene: Scene, width: int, height: int,
                         // band.rt) // tx
             live = slot_row < rows[me]
             img, cts = band._full_fn(
-                *pads, scene_arrays, tris_packed, tris_dirs, lights_scal,
+                pads, scene_arrays, tris_packed, tris_dirs, lights_scal,
                 shade_tbl, block_lo, block_hi, my_perm, cam, live)
             return img, cts[None]
         return shard_fn
@@ -344,8 +345,8 @@ def make_balanced_culled_renderer(scene: Scene, width: int, height: int,
             return None
         new = [max(p, _bucket(int(w), margin))
                for p, w in zip(buckets["pads"], worst)]
-        new[2] = max(buckets["pads"][2],
-                     _tile_bucket(int(worst[2] * margin), band.n_tiles))
+        new[hi] = max(buckets["pads"][hi],
+                      _tile_bucket(int(worst[hi] * margin), band.n_tiles))
         buckets["pads"] = tuple(new)
         return make_fn(buckets["pads"])
 
@@ -425,8 +426,9 @@ def make_sharded_bounced_renderer(scene: Scene, width: int, height: int,
         return b._last_bounce_counts
 
     per_band = size_bands(measure)
+    n_per = len(per_band[0][0])     # 2 * n_levels counts per bounce
     raw = tuple(tuple(max(band_counts[k][j] for band_counts in per_band)
-                      for j in range(4)) for k in range(depth + 1))
+                      for j in range(n_per)) for k in range(depth + 1))
     state = {"pads": tuple(tuple(_bucket(x, margin) for x in quad)
                            for quad in raw)}
 
@@ -438,13 +440,13 @@ def make_sharded_bounced_renderer(scene: Scene, width: int, height: int,
             img, counts = band._full_bounced_fn(
                 pads, scene_arrays, tris_packed, tris_dirs, lights_scal,
                 shade_tbl, block_lo, block_hi, my_perm, cam)
-            return img, counts[None]            # (h_band, W, 3), (1, B, 4)
+            return img, counts[None]   # (h_band, W, 3), (1, B, 2*n_levels)
         return shard_fn
 
-    def refreeze(got):                          # got: (n, B, 4)
-        worst = got.max(axis=0)                 # (B, 4)
+    def refreeze(got):                          # got: (n, B, 2*n_levels)
+        worst = got.max(axis=0)
         if all(int(worst[k, j]) <= state["pads"][k][j]
-               for k in range(depth + 1) for j in range(4)):
+               for k in range(depth + 1) for j in range(n_per)):
             return None
         state["pads"] = tuple(
             tuple(max(p, _bucket(int(w), margin))

@@ -68,6 +68,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="pace frames like the reference's 30 Hz loop; 0 = flat out")
     p.add_argument("--devices", type=int, default=None,
                    help="device count for --mode sharded")
+    p.add_argument("--balance", action="store_true",
+                   help="cost-balanced band heights for --mode sharded-bvh "
+                        "(the least-loaded-scheduler analog)")
     p.add_argument("--serve", metavar="HOST:PORT", default=None,
                    help="serve an interactive browser viewer instead of the "
                         "scripted animation (the SDL window analog)")
@@ -177,7 +180,8 @@ def main(argv=None) -> int:
                 scene, w, h, args.bounces, mesh=mesh, interpret=interpret)
         else:
             r = render_sharded_bvh.make_sharded_culled_renderer(
-                scene, w, h, mesh=mesh, interpret=interpret)
+                scene, w, h, mesh=mesh, interpret=interpret,
+                balance=args.balance)
         if args.multihost:
             render = lambda cam: r.device_fn(cam.to_arrays())[0]
             to_image = lambda a: np.asarray(a)[:h]

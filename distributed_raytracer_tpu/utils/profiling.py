@@ -119,7 +119,9 @@ def measure_culled(renderer, camera, frames: int = 10) -> FrameWork:
         out = renderer.render_fast(camera)
     jax.block_until_ready(out)
     seconds = (time.perf_counter() - t0) / frames
-    _, count, _, scount = renderer._last_counts   # fine-level cells
+    lc = renderer._last_counts
+    count = lc[renderer.n_levels - 1]   # finest primary cells
+    scount = lc[-1]                     # finest shadow cells
     return FrameWork(
         primary_cells=int(count),
         shadow_cells=int(scount),

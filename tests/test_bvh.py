@@ -250,3 +250,54 @@ def test_auto_exit_every_density_decision(suzanne_scene):
     r2 = CulledRenderer(suzanne_scene, 48, 36, interpret=True, exit_every=8)
     r2._resolve_exit(10 ** 9)
     assert r2.exit_every == 8
+
+
+def test_render_many_matches_fast(suzanne_scene):
+    """The batched-dispatch path (one scan over staged cameras) must be
+    image-identical to per-dispatch render_fast frames — it exists only to
+    amortize host/tunnel dispatch cost, never to change the math."""
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+    from distributed_raytracer_tpu.runtime import animation
+
+    r = CulledRenderer(suzanne_scene, 64, 48, interpret=True)
+    r.render(suzanne_scene.camera, block=True)
+    r.freeze(suzanne_scene.camera)
+    poses = animation.orbit_camera_path(suzanne_scene.camera, 3,
+                                        radius=6.0, revolutions=0.05)
+    cams = [p.to_arrays() for p in poses]
+    imgs, counts = r.render_many(cams)
+    assert np.asarray(counts).shape == (3, 5)
+    for k, c in enumerate(cams):
+        want = np.asarray(r.render_fast(c))
+        np.testing.assert_array_equal(np.asarray(imgs[k]), want)
+
+
+def test_three_level_cull_matches_two_level(suzanne_scene):
+    """The super-superblock hierarchy (cull_levels=3, auto-enabled on
+    multi-million-triangle scenes) must be image-identical to the 2-level
+    walk — every level's test is the same conservative interval math, so
+    only the work changes. Exercised with tiny groups so the hierarchy is
+    non-trivial even at 968 tris."""
+    from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
+
+    w, h = 64, 48
+    r2 = CulledRenderer(suzanne_scene, w, h, interpret=True, cull_group=2,
+                        cull_levels=2)
+    want = np.asarray(r2.render(suzanne_scene.camera, block=True))
+    r3 = CulledRenderer(suzanne_scene, w, h, interpret=True, cull_group=2,
+                        cull_levels=3)
+    assert len(r3.groups) == 2 and r3.n_levels == 3
+    got = np.asarray(r3.render(suzanne_scene.camera, block=True))
+    np.testing.assert_array_equal(got, want)
+    assert len(r3._last_counts) == 7          # (c0, c1, c2, ht, s0, s1, s2)
+    # frozen fast path + verify loop under 3 levels
+    r3.freeze(suzanne_scene.camera)
+    fast = np.asarray(r3.render_fast(suzanne_scene.camera.to_arrays(),
+                                     verify=True))
+    np.testing.assert_array_equal(fast, want)
+    # bounce path under 3 levels
+    b2 = np.asarray(r2.render_bounced(suzanne_scene.camera, depth=1,
+                                      block=True))
+    b3 = np.asarray(r3.render_bounced(suzanne_scene.camera, depth=1,
+                                      block=True))
+    np.testing.assert_array_equal(b3, b2)

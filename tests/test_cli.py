@@ -144,3 +144,11 @@ def test_cli_animate_objects_halo(scene_path):
                    "--animation", "none", "--devices", "4"])
     assert res.returncode == 0, res.stderr[-2000:]
     assert "Mean FPS" in res.stdout
+
+
+def test_cli_sharded_bvh_balanced(scene_path):
+    res = run_cli([scene_path, "48", "64", "--mode", "sharded-bvh",
+                   "--balance", "--frames", "2", "--fps-target", "0",
+                   "--animation", "none", "--devices", "4"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Mean FPS" in res.stdout
