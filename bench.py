@@ -155,7 +155,12 @@ def config5():
                                      "tools/bake_cache.py first")
         return extras
     arrays5, tree5, cam5 = prebaked
-    r5 = CulledRenderer(None, w, h, prebaked=(arrays5, tree5))
+    # 16x16-pixel ray tiles (rt=256): squarer tiles have tighter interval
+    # hulls, measured on v5e to HALVE config 5's scheduled pairs
+    # (13.0 -> 6.54 G) and beat the rt=512 frame time despite lower
+    # per-step kernel efficiency (tools/config5_ab.py round-4 A/B).
+    r5 = CulledRenderer(None, w, h, prebaked=(arrays5, tree5),
+                        ray_tile=256, tile_w=16)
     r5.render(cam5, block=True)
     r5.freeze(cam5)
     p5 = animation.orbit_camera_path(cam5, 3, radius=3.0, revolutions=0.01)

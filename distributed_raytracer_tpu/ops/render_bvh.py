@@ -437,17 +437,28 @@ class CulledRenderer:
         write-back in stage C. ht_pad is capped at n_tiles by the callers,
         so overflow is impossible when every tile hits.
         """
+        (tpos, hit_tile, tidx, ht_count, rays_h,
+         hits_h) = self._compact_tiles(ht_pad, rays, hits)
+        prep = shade.prepare_packed(scene, rays_h, hits_h, self.cfg,
+                                    table=shade_tbl)
+        live_l = shade.light_gates(scene, rays[0:3, 0], prep, hits_h.valid)
+        sti, smasks, sentries = self._light_masks(prep, live_l,
+                                                  block_lo, block_hi)
+        return (tpos, hit_tile, hits_h, prep, live_l, sti, smasks,
+                sentries, smasks.sum(), ht_count)
+
+    def _compact_tiles(self, ht_pad: int, rays, hits):
+        """Order-preserving hit-TILE compaction (see _stage_b2_fn's
+        docstring for why tile granularity): returns (tpos, hit_tile,
+        tidx, ht_count, rays_h, hits_h) with compacted shapes ht_pad*rt.
+        A stable argsort of ~600 bools, never a large scatter/search."""
         nt, rt = self.n_tiles, self.rt
-        hit = hits.valid
-        hit_t = hit.reshape(nt, rt)
+        hit_t = hits.valid.reshape(nt, rt)
         hit_tile = hit_t.any(axis=1)                            # (nt,)
-        # Order-preserving tile compaction: a stable argsort of ~600 bools
-        # (trivial) instead of any large scatter/search.
         tidx = jnp.argsort(~hit_tile, stable=True)[:ht_pad].astype(jnp.int32)
         ht_count = hit_tile.sum().astype(jnp.int32)
         tile_ok = jnp.arange(ht_pad, dtype=jnp.int32) < ht_count
         tpos = jnp.cumsum(hit_tile.astype(jnp.int32)) - 1       # (nt,)
-
         h = ht_pad * rt
         rays_h = rays.reshape(8, nt, rt)[:, tidx, :].reshape(8, h)
         valid_h = (hit_t[tidx] & tile_ok[:, None]).reshape(h)
@@ -455,14 +466,22 @@ class CulledRenderer:
                         hits.t.reshape(nt, rt)[tidx].reshape(h), 0.0)
         tri_h = jnp.where(valid_h,
                           hits.tri.reshape(nt, rt)[tidx].reshape(h), 0)
-        hits_h = intersect.Hits(t=t_h, tri=tri_h, valid=valid_h)
-        prep = shade.prepare_packed(scene, rays_h, hits_h, self.cfg,
-                                    table=shade_tbl)
-        live_l = shade.light_gates(scene, rays[0:3, 0], prep, valid_h)
-        sti, smasks, sentries = self._light_masks(prep, live_l,
-                                                  block_lo, block_hi)
-        return (tpos, hit_tile, hits_h, prep, live_l, sti, smasks,
-                sentries, smasks.sum(), ht_count)
+        return (tpos, hit_tile, tidx, ht_count, rays_h,
+                intersect.Hits(t=t_h, tri=tri_h, valid=valid_h))
+
+    def _gather_tiles(self, rows_h, tpos, hit_tile, fill=0.0):
+        """Tile-granular write-back: compacted (..., ht_pad*rt) rows ->
+        full-grid (..., n_pad); non-hit tiles get `fill`."""
+        rt = self.rt
+        ht_pad = rows_h.shape[-1] // rt
+        src = jnp.clip(tpos, 0, ht_pad - 1)
+        if rows_h.ndim == 1:
+            out = rows_h.reshape(ht_pad, rt)[src]
+            return jnp.where(hit_tile[:, None], out,
+                             fill).reshape(self.n_pad)
+        out = rows_h.reshape(rows_h.shape[0], ht_pad, rt)[:, src, :]
+        return jnp.where(hit_tile[None, :, None], out,
+                         fill).reshape(rows_h.shape[0], self.n_pad)
 
     # -- stage C: shadow queries + shading -------------------------------
 
@@ -547,8 +566,11 @@ class CulledRenderer:
     # reflections, plus per-light BSR shadow queries; the radiance
     # accumulates as colour += throughput * phong_b with one final clamp.
 
-    def _reflection_query(self, prep, hits, rays):
-        """Reflected rays from the current hits (+ their cull mask)."""
+    def _reflect_from(self, prep, rays, valid):
+        """Reflection rays + liveness from one bounce's shading prep
+        (shading normal for both the mirror and the epsilon lift; dead
+        rays — miss or zero-Ks — carry live=False and are masked out of
+        every downstream tile hull)."""
         cfg = self.cfg
         n = prep.normal
         d = rays[3:6]
@@ -560,34 +582,55 @@ class CulledRenderer:
         o = (prep.x + cfg.shadow_offset * refl
              + (cfg.shadow_normal_offset * side)[None, :] * n)
         r_rays = bsr_trace.pack_rays_rows(o, refl)
-        # Dead rays (miss or zero-Ks material) are masked out of the tile
-        # hulls; their (finite, garbage) ray data still traverses with live
-        # tiles but contributes nothing (throughput is zeroed).
-        live = hits.valid & jnp.any(prep.ks > 0.0, axis=0)
-        ti = cull.tile_intervals_packed(r_rays, self.rt, live=live)
-        mask1, entry1, c1 = cull.multilevel_mask(ti, self.block_lo,
-                                                 self.block_hi, self.groups)
-        return r_rays, live, ti, mask1, entry1, c1
+        live = valid & jnp.any(prep.ks > 0.0, axis=0)
+        return r_rays, live
 
-    def _stage_bounce_fn(self, p_pads: tuple, scene: SceneArrays,
-                         tris_packed, shade_tbl, block_lo, block_hi, rays,
-                         exclude, ti, mask1, entry1, c1, view):
-        """Nearest + shadow masks for an arbitrary packed ray set; also
-        emits the next bounce's reflection query. `view` is the viewer the
-        shading stage will use (the camera, or the previous hit points) —
-        needed here so the light gates match the shading exactly."""
+    def _stage_bounce_nearest_fn(self, p_pads: tuple, scene: SceneArrays,
+                                 tris_packed, block_lo, block_hi, rays,
+                                 exclude, ti, mask1, entry1, c1):
+        """Per-ray-origin nearest for one bounce's ray set. Returns
+        (hits, hit-tile count, per-level counts)."""
         hits, p_counts = self._nearest(p_pads, scene, tris_packed, rays,
                                        exclude, block_lo, block_hi, ti,
                                        mask1, entry1, c1)
-        prep = shade.prepare_packed(scene, rays, hits, self.cfg,
+        nt = hits.valid.shape[0] // self.rt
+        ht = hits.valid.reshape(nt, self.rt).any(axis=1).sum()
+        return hits, ht.astype(jnp.int32), p_counts
+
+    def _stage_bounce_prep_fn(self, ht_pad: int, scene: SceneArrays,
+                              shade_tbl, block_lo, block_hi, rays, hits,
+                              view):
+        """Hit-TILE compaction + shading prep + shadow masks + the next
+        bounce's reflection query, all on the COMPACTED tile set — the
+        bounce-path twin of _stage_b2_fn (everything downstream of the
+        nearest kernel is hit-proportional, and at 1080p with ~8% hit
+        fraction the uncompacted per-bounce prep dominated config 2).
+        `view` is the viewer for the light gates ((3,) camera at bounce 0,
+        (3, n_pad) previous hit points after); it is compacted alongside.
+        Reflection rays are built compacted and scattered back to the full
+        grid (zeros + live=False for non-hit tiles, which cull away)."""
+        (tpos, hit_tile, tidx, ht_count, rays_h,
+         hits_h) = self._compact_tiles(ht_pad, rays, hits)
+        if view.ndim == 1:
+            view_h = view
+        else:
+            h = ht_pad * self.rt
+            view_h = view.reshape(3, self.n_tiles,
+                                  self.rt)[:, tidx, :].reshape(3, h)
+        prep = shade.prepare_packed(scene, rays_h, hits_h, self.cfg,
                                     table=shade_tbl)
-        live_l = shade.light_gates(scene, view, prep, hits.valid)
+        live_l = shade.light_gates(scene, view_h, prep, hits_h.valid)
         sti, smasks, sentries = self._light_masks(prep, live_l,
                                                   block_lo, block_hi)
-        r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1 = \
-            self._reflection_query(prep, hits, rays)
-        return (hits, prep, live_l, sti, smasks, sentries, smasks.sum(),
-                p_counts, r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1)
+        r_rays_h, r_live_h = self._reflect_from(prep, rays_h, hits_h.valid)
+        r_rays = self._gather_tiles(r_rays_h, tpos, hit_tile)
+        r_live = self._gather_tiles(r_live_h, tpos, hit_tile, fill=False)
+        r_ti = cull.tile_intervals_packed(r_rays, self.rt, live=r_live)
+        r_mask1, r_entry1, r_c1 = cull.multilevel_mask(
+            r_ti, block_lo, block_hi, self.groups)
+        return (tpos, hit_tile, hits_h, prep, live_l, sti, smasks,
+                sentries, smasks.sum(), ht_count, view_h,
+                r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1)
 
     def _stage_shade_fn(self, s_pads: tuple,
                         scene: SceneArrays, tris_dirs, lights_scal,
@@ -626,30 +669,38 @@ class CulledRenderer:
                                                self.block_lo, self.block_hi)
             if b == 0:
                 self._resolve_exit(p_counts[-1])
-            sb = jit_for(self._stage_b_cache,
-                         ("bounce", p_pads, self.exit_every),
-                         self._stage_bounce_fn, p_pads)
-            (hits, prep, live_l, sti, smasks, sentries, sc1, _,
-             r_rays, r_live, r_ti, r_mask1, r_entry1, r_c1) = sb(
-                self.arrays, self.tris_packed, self.shade_tbl,
-                self.block_lo, self.block_hi, rays, exclude, ti, mask1,
-                entry1, c1, view)
+            nf = jit_for(self._stage_b_cache,
+                         ("bounceN", p_pads, self.exit_every),
+                         self._stage_bounce_nearest_fn, p_pads)
+            hits, hcount, _ = nf(
+                self.arrays, self.tris_packed, self.block_lo, self.block_hi,
+                rays, exclude, ti, mask1, entry1, c1)
+            ht_pad = _tile_bucket(int(hcount), self.n_tiles)
+            pf = jit_for(self._stage_b_cache, ("bounceP", ht_pad),
+                         self._stage_bounce_prep_fn, ht_pad)
+            (tpos, hit_tile, hits_h, prep, live_l, sti, smasks, sentries,
+             sc1, ht_count, view_h, r_rays, r_live, r_ti, r_mask1,
+             r_entry1, r_c1) = pf(self.arrays, self.shade_tbl,
+                                  self.block_lo, self.block_hi, rays, hits,
+                                  view)
             s_pads, s_counts = self._size_pads(sti, smasks, sentries, sc1,
                                                self.block_lo, self.block_hi)
-            pads_used.append(p_pads + s_pads)
-            counts_used.append(p_counts + s_counts)
+            pads_used.append(p_pads + (ht_pad,) + s_pads)
+            counts_used.append(p_counts + (int(ht_count),) + s_counts)
             sc = jit_for(self._stage_c_cache,
                          ("shade", b > 0, s_pads, self.exit_every),
                          self._stage_shade_fn, s_pads)
-            local, _ = sc(self.arrays, self.tris_dirs, self.lights_scal,
-                          self.block_lo, self.block_hi, view, hits, prep,
-                          live_l, sti, smasks, sentries, sc1)
-            colour = colour + throughput * local
+            local_h, _ = sc(self.arrays, self.tris_dirs, self.lights_scal,
+                            self.block_lo, self.block_hi, view_h, hits_h,
+                            prep, live_l, sti, smasks, sentries, sc1)
+            colour = colour + throughput * self._gather_tiles(
+                local_h, tpos, hit_tile)
             if b == depth:
                 break
+            ks_full = self._gather_tiles(prep.ks, tpos, hit_tile)
             throughput = jnp.where(hits.valid[None, :],
-                                   throughput * prep.ks, 0.0)
-            view = prep.x
+                                   throughput * ks_full, 0.0)
+            view = self._gather_tiles(prep.x, tpos, hit_tile)
             rays = r_rays
             exclude = hits.tri
             ti, mask1, entry1, c1 = r_ti, r_mask1, r_entry1, int(r_c1)
@@ -670,10 +721,11 @@ class CulledRenderer:
                          block_hi, perm, cam: CameraArrays):
         """Fused multi-bounce pipeline with fixed buckets (no host syncs).
 
-        Also returns the true per-bounce work counts as a (B, 2*n_levels)
-        int32 array [per-level primary cells, then per-level shadow cells,
-        per bounce] so callers — including the sharded band renderer — can
-        verify the frozen buckets still hold and refreeze on overflow
+        Also returns the true per-bounce work counts as a
+        (B, 2*n_levels + 1) int32 array [per-level primary cells, the
+        hit-tile count, per-level shadow cells — the same layout as the
+        primary path] so callers — including the sharded band renderer —
+        can verify the frozen buckets still hold and refreeze on overflow
         instead of silently dropping candidate blocks.
         """
         rays, ti, mask1, entry1, c1 = self._stage_a_fn(cam, perm, block_lo,
@@ -685,24 +737,29 @@ class CulledRenderer:
         counts = []
         nl = self.n_levels
         for b, b_pads in enumerate(pads):
-            p_pads, s_pads = b_pads[:nl], b_pads[nl:]
-            (hits, prep, live_l, sti, smasks, sentries, sc1, p_counts,
-             r_rays, _, r_ti, r_mask1, r_entry1, r_c1) = \
-                self._stage_bounce_fn(
-                    p_pads, scene, tris_packed, shade_tbl, block_lo,
-                    block_hi, rays, exclude, ti, mask1, entry1, c1, view)
-            local, s_counts = self._stage_shade_fn(
+            p_pads, ht_pad, s_pads = b_pads[:nl], b_pads[nl], b_pads[nl + 1:]
+            hits, hcount, p_counts = self._stage_bounce_nearest_fn(
+                p_pads, scene, tris_packed, block_lo, block_hi, rays,
+                exclude, ti, mask1, entry1, c1)
+            (tpos, hit_tile, hits_h, prep, live_l, sti, smasks, sentries,
+             sc1, ht_count, view_h, r_rays, _, r_ti, r_mask1, r_entry1,
+             r_c1) = self._stage_bounce_prep_fn(
+                ht_pad, scene, shade_tbl, block_lo, block_hi, rays, hits,
+                view)
+            local_h, s_counts = self._stage_shade_fn(
                 s_pads, scene, tris_dirs, lights_scal,
-                block_lo, block_hi, view, hits, prep, live_l, sti, smasks,
-                sentries, sc1)
-            colour = colour + throughput * local
-            counts.append(jnp.stack([c1, *p_counts, sc1, *s_counts]
-                                    ).astype(jnp.int32))
+                block_lo, block_hi, view_h, hits_h, prep, live_l, sti,
+                smasks, sentries, sc1)
+            colour = colour + throughput * self._gather_tiles(
+                local_h, tpos, hit_tile)
+            counts.append(jnp.stack([c1, *p_counts, ht_count, sc1,
+                                     *s_counts]).astype(jnp.int32))
             if b + 1 == len(pads):
                 break
+            ks_full = self._gather_tiles(prep.ks, tpos, hit_tile)
             throughput = jnp.where(hits.valid[None, :],
-                                   throughput * prep.ks, 0.0)
-            view = prep.x
+                                   throughput * ks_full, 0.0)
+            view = self._gather_tiles(prep.x, tpos, hit_tile)
             rays = r_rays
             exclude = hits.tri
             ti, mask1, entry1, c1 = r_ti, r_mask1, r_entry1, r_c1
@@ -719,8 +776,12 @@ class CulledRenderer:
         state = {}
 
         def freeze_from(counts):
-            pads = tuple(tuple(_bucket(x, margin) for x in quad)
-                         for quad in counts)
+            hi = self._ht_idx      # hit-tile slot: its own bucket + cap
+            pads = tuple(
+                tuple(_tile_bucket(int(x * margin), self.n_tiles)
+                      if k == hi else _bucket(x, margin)
+                      for k, x in enumerate(quad))
+                for quad in counts)
             prev = state.get("pads")
             if prev is not None:   # grow-only, as freeze()
                 pads = tuple(tuple(max(p, q) for p, q in zip(quad, pq))

@@ -426,11 +426,17 @@ def make_sharded_bounced_renderer(scene: Scene, width: int, height: int,
         return b._last_bounce_counts
 
     per_band = size_bands(measure)
-    n_per = len(per_band[0][0])     # 2 * n_levels counts per bounce
+    n_per = len(per_band[0][0])     # 2*n_levels + 1 counts per bounce
+    hi = band._ht_idx               # the hit-tile slot inside each bounce
     raw = tuple(tuple(max(band_counts[k][j] for band_counts in per_band)
                       for j in range(n_per)) for k in range(depth + 1))
-    state = {"pads": tuple(tuple(_bucket(x, margin) for x in quad)
-                           for quad in raw)}
+
+    def quad_pads(quad):
+        return tuple(_tile_bucket(int(x * margin), band.n_tiles)
+                     if j == hi else _bucket(x, margin)
+                     for j, x in enumerate(quad))
+
+    state = {"pads": tuple(quad_pads(quad) for quad in raw)}
 
     def make_fn(pads):
         def shard_fn(scene_arrays, tris_packed, tris_dirs, lights_scal,
@@ -449,8 +455,7 @@ def make_sharded_bounced_renderer(scene: Scene, width: int, height: int,
                for k in range(depth + 1) for j in range(n_per)):
             return None
         state["pads"] = tuple(
-            tuple(max(p, _bucket(int(w), margin))
-                  for p, w in zip(quad, worst_quad))
+            tuple(max(p, q) for p, q in zip(quad, quad_pads(worst_quad)))
             for quad, worst_quad in zip(state["pads"], worst))
         return make_fn(state["pads"])
 
