@@ -278,7 +278,9 @@ def config_loop():
 
 
 CONFIGS = {
-    "5": (config5, 150),
+    # config 5's floor covers its ~630 MB tunneled upload (~200-300s on a
+    # slow day) + warm compiles + frames; measured round 4.
+    "5": (config5, 220),
     "3": (config3, 60),
     "loop": (config_loop, 45),
     "2": (config2, 60),

@@ -72,7 +72,7 @@ def main(argv) -> int:
     def breakdown(r):
         """Time the sync stages separately (indicative split)."""
         cam = cam5.to_arrays()
-        out = r._stage_a(cam, r._perm, r.block_lo, r.block_hi)
+        out = r._stage_a(cam, r._perm, r.block_lo, r.block_hi, None)
         jax.block_until_ready(out)
 
         def t(f, n=4):
@@ -85,20 +85,20 @@ def main(argv) -> int:
             return (time.perf_counter() - t0) / n, o
 
         sa, (rays, ti, mask1, entry1, c1) = t(
-            lambda: r._stage_a(cam, r._perm, r.block_lo, r.block_hi))
-        from distributed_raytracer_tpu.ops.render_bvh import _bucket
-        w1_pad = _bucket(int(c1))
-        cf, c2 = t(lambda: r._count_fine(w1_pad)(
+            lambda: r._stage_a(cam, r._perm, r.block_lo, r.block_hi, None))
+        p_pads, p_counts = r._size_pads(ti, mask1, entry1, c1,
+                                        r.block_lo, r.block_hi)
+        cf, _ = t(lambda: r._count_next(p_pads[:-1])(
             r.block_lo, r.block_hi, ti, mask1, entry1, c1))
-        w_pad = _bucket(int(c2))
-        key = (w1_pad, w_pad, r.exit_every)
-        sb1 = r._stage_b_cache[key]
+        sb1 = r._stage_b_cache[(p_pads, r.exit_every)]
         tb1, (hits, hcount, _) = t(lambda: sb1(
             r.arrays, r.tris_packed, r.tris_dirs, r.block_lo, r.block_hi,
             rays, ti, mask1, entry1, c1))
-        print(f"  stage A (raygen+coarse mask) {sa * 1e3:6.1f} ms  (c1={int(c1)})")
-        print(f"  count_fine (sizing)          {cf * 1e3:6.1f} ms  (c2={int(c2)})")
-        print(f"  stage B1 (fine wl + nearest) {tb1 * 1e3:6.1f} ms", flush=True)
+        print(f"  stage A (raygen+top mask)    {sa * 1e3:6.1f} ms  "
+              f"(counts {p_counts})")
+        print(f"  count (finest sizing pass)   {cf * 1e3:6.1f} ms")
+        print(f"  stage B1 (descent + nearest) {tb1 * 1e3:6.1f} ms",
+              flush=True)
 
     variants = argv[1:] or ["base", "rt256sq", "exit16", "mxu"]
     for v in variants:
