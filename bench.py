@@ -135,21 +135,49 @@ def _setup():
 
 
 def config5():
-    """5.24M-tri icosphere through the block-sparse path, single chip.
+    """Multi-million-triangle icosphere through the block-sparse path.
 
-    The bake takes minutes at 5.2M tris, so the baked bundle is cached on
+    The bake takes minutes at 5.2M tris, so baked bundles are cached on
     disk (tools/bake_cache.py); without a cache the config is honestly
     skipped rather than blowing the whole budget. (The block-partitioned
     multi-host schedules are parallel/halo_bvh.py and parallel/ring_bvh.py,
     validated on the virtual mesh — a single chip holds this scene whole.)
+
+    The tunneled device link's bandwidth swings wildly (measured 3 MB/s to
+    0.1 MB/s across one round-4 day); the geometry upload is ~100 bytes per
+    triangle slot, so the full 5.24M-tri scene simply cannot board a slow
+    link inside any budget. A 16 MB probe measures the link first and the
+    config picks the LARGEST icosphere level whose estimated upload fits
+    the remaining budget (5.24M preferred, 1.31M fallback — both
+    multi-million-class); the choice and the measured rate are reported,
+    never silently substituted.
     """
+    import jax
+
     from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer
     from distributed_raytracer_tpu.runtime import animation
-    from tools.bake_cache import load_icosphere9
+    from tools.bake_cache import load_icosphere
 
     extras = {}
     w, h = 640, 480
-    prebaked = load_icosphere9(build_if_missing=_budget_left() > 400)
+    jax.devices()                                # backend init, not timed
+    t0 = time.monotonic()
+    jax.block_until_ready(jax.device_put(np.zeros((4 << 20,), np.float32)))
+    rate = 16.0 / max(time.monotonic() - t0, 1e-3)        # MB/s
+    extras["config5_link_mbps"] = round(rate, 2)
+    for sub, slots in ((9, 6.29e6), (8, 1.58e6)):
+        need_mb = slots * 100 / 1e6              # tris12+p0+normals+mat_id
+        if need_mb / rate < _budget_left() - 90:
+            break
+        extras[f"config5_ico{sub}_skipped"] = (
+            f"link {rate:.2f} MB/s: ~{need_mb:.0f} MB upload cannot fit "
+            "the remaining budget")
+    else:
+        return extras
+    if sub != 9:
+        extras["config5_scene"] = (f"icosphere{sub} fallback "
+                                   f"(link {rate:.2f} MB/s)")
+    prebaked = load_icosphere(sub, build_if_missing=_budget_left() > 400)
     if prebaked is None:
         extras["config5_skipped"] = ("no bake cache; run "
                                      "tools/bake_cache.py first")

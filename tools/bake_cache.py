@@ -60,19 +60,28 @@ def load_bundle(name: str):
     return arrays, tree, cam
 
 
-def load_icosphere9(build_if_missing: bool = True):
-    """The BASELINE config-5 bundle (5.24M-tri icosphere, block 128)."""
-    got = load_bundle("icosphere9_bs128")
+def load_icosphere(subdivisions: int, build_if_missing: bool = True):
+    """An icosphere bundle by subdivision level (block 128): level 9 =
+    5.24M tris (the BASELINE config-5 scene), level 8 = 1.31M tris (the
+    bench's reduced fallback when the tunneled device link is too slow to
+    upload the full scene inside the budget)."""
+    name = f"icosphere{subdivisions}_bs128"
+    got = load_bundle(name)
     if got is not None or not build_if_missing:
         return got
     from distributed_raytracer_tpu.utils import scenes as S
 
     t0 = time.time()
-    scene = S.icosphere_scene(9)
+    scene = S.icosphere_scene(subdivisions)
     arrays, tree = scene.bake_bvh(block_size=128)
-    save_bundle("icosphere9_bs128", arrays, tree, scene.camera)
-    print(f"built + cached icosphere9 bundle in {time.time() - t0:.0f}s")
+    save_bundle(name, arrays, tree, scene.camera)
+    print(f"built + cached {name} bundle in {time.time() - t0:.0f}s")
     return arrays, tree, scene.camera
+
+
+def load_icosphere9(build_if_missing: bool = True):
+    """The BASELINE config-5 bundle (5.24M-tri icosphere, block 128)."""
+    return load_icosphere(9, build_if_missing)
 
 
 if __name__ == "__main__":
@@ -80,7 +89,8 @@ if __name__ == "__main__":
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    got = load_icosphere9(build_if_missing=True)
-    arrays, tree, cam = got
-    print(f"cached: {arrays.p0.shape[0]} tri slots, "
-          f"{tree.num_blocks} blocks -> {_path('icosphere9_bs128')}")
+    for sub in ([int(a) for a in sys.argv[1:]] or [9, 8]):
+        arrays, tree, cam = load_icosphere(sub, build_if_missing=True)
+        print(f"cached: {arrays.p0.shape[0]} tri slots, "
+              f"{tree.num_blocks} blocks -> "
+              f"{_path(f'icosphere{sub}_bs128')}")
