@@ -285,7 +285,19 @@ def config_loop():
     r = CulledRenderer(scene, w, h)
     r.render(scene.camera, block=True)
     r.freeze(scene.camera)
-    events = list(animation.orbit_events(w, 300, fov=scene.camera.fov))
+    # The DISPLAYED frame crosses the host link (~0.9 MB as u8); on a
+    # degraded tunnel that wire, not the chip, bounds the loop. Time one
+    # displayed frame and size the run to ~30 s of frames (>= 60 for
+    # meaningful statistics, 300 when the link keeps up) so the config
+    # always finishes inside its budget; the frame count is reported.
+    t0 = time.monotonic()
+    np.asarray(framebuffer.to_u8_device(r.render_fast(
+        scene.camera.to_arrays())))
+    probe_s = max(time.monotonic() - t0, 1e-4)
+    n_frames = int(min(300, max(60, 30.0 / probe_s)))
+    extras["loop_frames_budgeted"] = n_frames
+    events = list(animation.orbit_events(w, n_frames,
+                                         fov=scene.camera.fov))
     shown = [0]
 
     def display(idx, img):
