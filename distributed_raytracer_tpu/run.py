@@ -137,8 +137,9 @@ def main(argv=None) -> int:
         if args.mode not in ("culled", "halo") or args.bounces:
             raise SystemExit("--animate-objects supports --mode culled/halo "
                              "(without --bounces)")
-        if args.serve or args.multihost:
-            raise SystemExit("--animate-objects is a scripted-animation mode")
+        if args.multihost or (args.serve and args.mode != "culled"):
+            raise SystemExit("--animate-objects + --serve needs --mode "
+                             "culled; --multihost is unsupported")
         diffs = animation.orbit_object_diffs(
             scene, args.frames, radius=args.object_radius,
             revolutions=args.revolutions)
@@ -158,7 +159,16 @@ def main(argv=None) -> int:
         dyn.freeze(scene.camera)
         render_k = lambda k, cam: dyn.render_dynamic(
             cam.to_arrays(), diffs[k], verify=(k % 8 == 0))
-        render_arrays = lambda c: dyn.render_dynamic(c, diffs[0])
+
+        # For --serve: advance the object orbit one diff per rendered
+        # frame (frames are produced on input change, the reference's
+        # main.go:246 rule, so the object moves as the viewer interacts).
+        _dk = [0]
+
+        def render_arrays(c):
+            d = diffs[_dk[0] % len(diffs)]
+            _dk[0] += 1
+            return dyn.render_dynamic(c, d, verify=(_dk[0] % 8 == 1))
     elif args.mode == "culled":
         culled = CulledRenderer(scene, w, h, interpret=interpret)
         if args.bounces:
