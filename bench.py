@@ -287,12 +287,14 @@ def config_loop():
     r.freeze(scene.camera)
     # The DISPLAYED frame crosses the host link (~0.9 MB as u8); on a
     # degraded tunnel that wire, not the chip, bounds the loop. Time one
-    # displayed frame and size the run to ~30 s of frames (>= 60 for
-    # meaningful statistics, 300 when the link keeps up) so the config
-    # always finishes inside its budget; the frame count is reported.
+    # displayed frame (after a compile-warming one) and size the run to
+    # ~30 s of frames (>= 60 for meaningful statistics, 300 when the link
+    # keeps up) so the config always finishes inside its budget; the
+    # frame count is reported.
+    cam0 = scene.camera.to_arrays()
+    np.asarray(framebuffer.to_u8_device(r.render_fast(cam0)))   # warm
     t0 = time.monotonic()
-    np.asarray(framebuffer.to_u8_device(r.render_fast(
-        scene.camera.to_arrays())))
+    np.asarray(framebuffer.to_u8_device(r.render_fast(cam0)))
     probe_s = max(time.monotonic() - t0, 1e-4)
     n_frames = int(min(300, max(60, 30.0 / probe_s)))
     extras["loop_frames_budgeted"] = n_frames

@@ -941,37 +941,45 @@ class CulledRenderer:
     def render_many(self, cameras):
         """Render a BATCH of camera poses in ONE device dispatch.
 
-        jax.lax.scan over the stacked camera pytree with the frozen
-        buckets: frames still compute sequentially on the chip (identical
-        images to render_fast), but the per-dispatch host cost — ~1.2 ms
-        of tunnel/dispatch structure per call on this remote-TPU setup,
-        ~45% of a 2.7 ms frame at 640x480 — is paid once per batch
-        instead of once per frame. This is the THROUGHPUT path (benchmark
-        sweeps, offline animation rendering); the interactive loop keeps
-        per-frame dispatches for latency. Returns (imgs (K, H, W, 3),
-        counts (K, n_counts)) on device; callers should spot-check counts
-        against frozen_pads as render_fast(verify=True) does.
+        The frame pipeline is UNROLLED over the stacked camera pytree with
+        the frozen buckets: frames still compute sequentially on the chip
+        (identical images to render_fast), but the per-dispatch host cost —
+        ~1.2 ms of tunnel/dispatch structure per call on this remote-TPU
+        setup, ~45% of a 2.8 ms frame at 640x480 — is paid once per batch.
+        Full unrolling (not lax.scan) is load-bearing: the scan variant
+        measured 6.06 ms/frame on v5e vs 2.78 per-dispatch and 2.31
+        unrolled — the loop's buffer management around the Pallas segments
+        cost more than the dispatch tax it saved. Compile time scales with
+        the batch length, so keep batches modest (the bench uses 8).
+
+        This is the THROUGHPUT path (benchmark sweeps, offline animation
+        rendering); the interactive loop keeps per-frame dispatches for
+        latency. Returns (imgs (K, H, W, 3), counts (K, n_counts)) on
+        device; callers should spot-check counts against frozen_pads as
+        render_fast(verify=True) does.
         """
         cams = [c.to_arrays() if isinstance(c, Camera) else c
                 for c in cameras]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
         if self._fused is None:
             self.freeze(cameras[0])
-        key = ("many", self._frozen_pads)
+        k = len(cams)
+        key = ("many", k, self._frozen_pads)
         fn = self._stage_b_cache.get(key)
         if fn is None:
             pads = self._frozen_pads
 
             def many_fn(scene, tris_packed, tris_dirs, lights_scal,
                         shade_tbl, block_lo, block_hi, perm, cams):
-                def body(carry, cam):
-                    img, counts = self._full_fn(
+                imgs, counts = [], []
+                for i in range(k):
+                    cam = jax.tree.map(lambda x: x[i], cams)
+                    img, c = self._full_fn(
                         pads, scene, tris_packed, tris_dirs, lights_scal,
                         shade_tbl, block_lo, block_hi, perm, cam)
-                    return carry, (img, counts)
-
-                _, (imgs, counts) = jax.lax.scan(body, 0, cams)
-                return imgs, counts
+                    imgs.append(img)
+                    counts.append(c)
+                return jnp.stack(imgs), jnp.stack(counts)
 
             fn = jax.jit(many_fn)
             self._stage_b_cache[key] = fn
