@@ -331,12 +331,14 @@ CONFIGS = {
 
 # Child grouping: config 5 runs alone (the historic crasher — isolation is
 # FOR it) and LAST, so a blowout there can no longer starve the cheap
-# configs (it did exactly that in round 3). The low-risk configs share one
-# child so the ~30 s per-process jax init through the tunnel is paid once,
-# not four times. Inside the group each config still runs under its own
-# try/except, so one failure costs one data point, and the child emits
-# whatever it measured on SIGTERM.
-CHILD_GROUPS = (("3", "loop", "2", "4"), ("5",))
+# configs (it did exactly that in round 3). The cheap configs are split
+# into TWO children — (3, loop) and (2, 4) — so one config's executable
+# (re)loads through a slow tunnel can't starve the other pair either
+# (round 4 observed config 3 at 165 s on a congested link, which consumed
+# the shared child's budget before 2/4 started). Inside each group every
+# config still runs under its own try/except, so one failure costs one
+# data point, and the child emits whatever it measured on SIGTERM.
+CHILD_GROUPS = (("3", "loop"), ("2", "4"), ("5",))
 # Floor reserved for config 5 when budgeting the groups before it.
 RESERVE_5 = CONFIGS["5"][1]
 
