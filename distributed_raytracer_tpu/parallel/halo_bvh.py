@@ -129,14 +129,16 @@ def apply_diff_sharded(geom: ShardedGeometry, dyn: DynGeometry, diff):
                          block_hi=geom.block_hi + db)
 
 
-def _pad_to_shardable(arrays, tree, n: int):
-    """Append degenerate blocks so the block count divides the mesh size.
+def _pad_to_shardable(arrays, tree, n: int, align: int = 1):
+    """Append degenerate blocks so the block count divides the mesh size
+    (and, with align > 1, each shard's block count divides the local cull
+    grouping so superblocks never straddle shards).
 
     Padding triangles are all-zero (den == num == 0 -> never hit) and padding
     blocks carry inverted AABBs (+inf, -inf) that no interval test passes.
     """
     nb = tree.num_blocks
-    nb_ext = -(-nb // n) * n
+    nb_ext = -(-nb // (n * align)) * (n * align)
     if nb_ext == nb:
         return arrays, tree.block_lo, tree.block_hi
     bs = tree.block_size
@@ -175,7 +177,8 @@ class HaloCulledRenderer:
                  margin: float = 2.0, cfg: RenderConfig = DEFAULT_CONFIG,
                  block_size: int = 128, ray_tile: int = 512,
                  interpret: bool = False, dynamic: bool = False,
-                 bounces: int = 0):
+                 bounces: int = 0, local_levels: Optional[int] = None,
+                 local_group: int = 16):
         if mesh is None:
             mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
         self.bounces = int(bounces)
@@ -199,7 +202,19 @@ class HaloCulledRenderer:
         else:
             arrays, tree = scene.bake_bvh(block_size=block_size)
         nb_orig = tree.num_blocks
-        arrays, lo, hi = _pad_to_shardable(arrays, tree, self.n)
+        # Per-shard cull hierarchy: each shard culls the gathered rays
+        # against its OWN blocks; above ~1024 resident blocks the flat
+        # (tiles x blocks) mask + compaction argsort dominates, so a local
+        # superblock level is added (cull.multilevel_* with groups that
+        # never straddle shards — the block padding aligns to it).
+        # loc_groups == () degenerates to the flat single-level walk.
+        prelim_loc = -(-tree.num_blocks // self.n)
+        if local_levels is None:
+            local_levels = 2 if prelim_loc >= 1024 else 1
+        self.loc_groups = (local_group,) * (local_levels - 1)
+        arrays, lo, hi = _pad_to_shardable(
+            arrays, tree, self.n,
+            align=local_group if self.loc_groups else 1)
         self.nb_ext = lo.shape[0]
         self.nb_loc = self.nb_ext // self.n
         self.t_loc = self.nb_loc * block_size
@@ -272,12 +287,27 @@ class HaloCulledRenderer:
         rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)
         ti = cull.tile_intervals_packed(rays, self.rt)
         mask, entry = cull.block_mask_with_entry(ti, blo, bhi)
-        return rays, mask, entry
+        return rays, ti, mask, entry
 
     def _per_shard(self, mask):
-        """(nt, NB_ext) mask -> (n,) per-shard kept-cell counts."""
+        """(nt, n*W) mask -> (n,) per-shard kept-cell counts (W = any
+        per-shard level width; shard alignment is guaranteed by the block
+        padding)."""
         nt = mask.shape[0]
-        return mask.reshape(nt, self.n, self.nb_loc).sum(axis=(0, 2))
+        return mask.reshape(nt, self.n, -1).sum(axis=(0, 2))
+
+    def _per_shard_levels(self, ti, mask_flat, blo, bhi):
+        """(L+1, n) per-shard kept cells at every LOCAL cull level,
+        coarsest first. The flat full-geometry mask gives the finest
+        level; coarser levels re-test the same tile hulls against the
+        local-group union AABBs."""
+        rows = []
+        for k in range(len(self.loc_groups), 0, -1):
+            lo, hi = cull.level_bounds(blo, bhi, self.loc_groups[:k])[-1]
+            m, _ = cull.block_mask_with_entry(ti, lo, hi)
+            rows.append(self._per_shard(m))
+        rows.append(self._per_shard(mask_flat))
+        return jnp.stack(rows)
 
     def _size_b(self, w_full, tris16, table32, blo, bhi, cam, rays,
                 mask, entry):
@@ -296,29 +326,35 @@ class HaloCulledRenderer:
                                          jnp.where(valid, bt, 0.0), g,
                                          self.cfg)
         live_l = shade.light_gates_rows(self.lights_col, cam.pos, prep, valid)
+        nl = len(self.loc_groups) + 1
         per_ls = []
         for li in range(self.n_lights):
             ti_s = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
                                               live=live_l[li], use_tmax=True)
             smask, _ = cull.block_mask_with_entry(ti_s, blo, bhi)
-            per_ls.append(self._per_shard(smask))
+            per_ls.append(self._per_shard_levels(ti_s, smask, blo, bhi))
         return (jnp.stack(per_ls) if per_ls
-                else jnp.zeros((0, self.n), jnp.int32))
+                else jnp.zeros((0, nl, self.n), jnp.int32))
 
     def _sizing_counts(self, camera) -> np.ndarray:
-        """(n, 2) int: per-shard primary cells, per-shard max-per-light
-        shadow cells, for `camera` — the bucket-sizing inputs."""
+        """(n, 2*(L+1)) int: per-shard per-LOCAL-level primary cells then
+        shadow cells (coarsest..finest; max over lights), for `camera` —
+        the bucket-sizing inputs. L = len(loc_groups); the historical
+        (n, 2) layout is the L = 0 case."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         tris16, table32, blo, bhi = self._full
-        rays, mask, entry = jax.jit(self._size_a)(cam, self._perm, blo, bhi)
-        per_shard_p = np.asarray(self._per_shard(mask))
+        nl = len(self.loc_groups) + 1
+        rays, ti, mask, entry = jax.jit(self._size_a)(cam, self._perm,
+                                                      blo, bhi)
+        p_levels = np.asarray(jax.jit(self._per_shard_levels)(
+            ti, mask, blo, bhi))                         # (nl, n)
         w_full = _bucket(int(mask.sum()))
         size_b = jax.jit(functools.partial(self._size_b, w_full))
         per_ls = np.asarray(size_b(tris16, table32, blo, bhi, cam, rays,
-                                   mask, entry))
-        per_shard_s = (per_ls.max(axis=0) if per_ls.size
-                       else np.zeros(self.n, np.int64))
-        return np.stack([per_shard_p, per_shard_s], axis=1)
+                                   mask, entry))         # (L_lights, nl, n)
+        s_levels = (per_ls.max(axis=0) if per_ls.size
+                    else np.zeros((nl, self.n), np.int64))
+        return np.concatenate([p_levels, s_levels]).T    # (n, 2*nl)
 
     # -- bounce sizing (build time, one device, full geometry) --------------
 
@@ -343,7 +379,7 @@ class HaloCulledRenderer:
     def _size_mask(self, blo, bhi, rays, live):
         ti = cull.tile_intervals_packed(rays, self.rt, live=live)
         mask, entry = cull.block_mask_with_entry(ti, blo, bhi)
-        return mask, entry, mask.sum().astype(jnp.int32)
+        return ti, mask, entry, mask.sum().astype(jnp.int32)
 
     def _size_bounce_step(self, shared: bool, w_full: int, tris16, table32,
                           blo, bhi, rays, live, excl, view, mask, entry):
@@ -365,21 +401,23 @@ class HaloCulledRenderer:
                                          jnp.where(valid, bt, 0.0), g,
                                          self.cfg)
         live_l = shade.light_gates_rows(self.lights_col, view, prep, valid)
+        nl = len(self.loc_groups) + 1
         per_ls = []
         for li in range(self.n_lights):
             ti_s = cull.tile_intervals_packed(prep.q_rev[li], self.rt,
                                               live=live_l[li], use_tmax=True)
             smask, _ = cull.block_mask_with_entry(ti_s, blo, bhi)
-            per_ls.append(self._per_shard(smask))
+            per_ls.append(self._per_shard_levels(ti_s, smask, blo, bhi))
         per_s = (jnp.stack(per_ls) if per_ls
-                 else jnp.zeros((0, self.n), jnp.int32))
+                 else jnp.zeros((0, nl, self.n), jnp.int32))
         r_rays, live2 = self._reflect_rows(prep, rays, valid)
         excl2 = jnp.where(valid, bi, -1)
         return per_s, r_rays, live2, excl2, prep.x
 
     def _sizing_counts_bounced(self, camera, depth: int) -> np.ndarray:
-        """(B+1, n, 2): per-bounce per-shard (primary cells, max-per-light
-        shadow cells) on full geometry — the bounce bucket-sizing inputs."""
+        """(B+1, n, 2*(L+1)): per-bounce per-shard per-LOCAL-level
+        (primary cells then max-per-light shadow cells) on full geometry —
+        the bounce bucket-sizing inputs."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         tris16, table32, blo, bhi = self._full
         d_rows = raygen.ray_rows_flat(cam, self.width, self.height,
@@ -389,10 +427,11 @@ class HaloCulledRenderer:
         excl = jnp.full((self.n_pad_ext,), -1, jnp.int32)
         view = cam.pos
         size_mask = jax.jit(self._size_mask)
+        levels = jax.jit(self._per_shard_levels)
         out = []
         for b in range(depth + 1):
-            mask, entry, c = size_mask(blo, bhi, rays, live)
-            per_p = np.asarray(self._per_shard(mask))
+            ti, mask, entry, c = size_mask(blo, bhi, rays, live)
+            per_p = np.asarray(levels(ti, mask, blo, bhi))   # (nl, n)
             w_full = _bucket(int(c))
             step = jax.jit(functools.partial(self._size_bounce_step,
                                              b == 0, w_full))
@@ -400,14 +439,15 @@ class HaloCulledRenderer:
                 tris16, table32, blo, bhi, rays, live, excl, view, mask,
                 entry)
             per_ls = np.asarray(per_ls)
+            nl = len(self.loc_groups) + 1
             per_s = (per_ls.max(axis=0) if per_ls.size
-                     else np.zeros(self.n, np.int64))
-            out.append(np.stack([per_p, per_s], axis=1))
+                     else np.zeros((nl, self.n), np.int64))
+            out.append(np.concatenate([per_p, per_s]).T)   # (n, 2*nl)
         return np.stack(out)
 
     # -- the sharded frame --------------------------------------------------
 
-    def _shard_fn(self, w_pad: int, w_pad_sh: int, cam: CameraArrays,
+    def _shard_fn(self, w_pads: tuple, w_pads_sh: tuple, cam: CameraArrays,
                   geom: ShardedGeometry, perm, lights_pos, lights_col,
                   dyn: Optional[DynGeometry] = None, diff=None):
         n, rt, tb = self.n, self.rt, self.tb
@@ -415,25 +455,32 @@ class HaloCulledRenderer:
             # Every shard folds the frame's diff into its resident rows
             # before any culling — environment.go:73-98's "every worker
             # applies every diff", minus the R-tree rebuild (block AABBs
-            # shift exactly under the grouped bake).
+            # shift exactly under the grouped bake; the local superblock
+            # unions recompute from the shifted blocks inside the
+            # multilevel walk, so the hierarchy stays exact).
             geom = apply_diff_sharded(geom, dyn, diff)
         gid0 = geom.base[0]
 
-        # 1-2: full-frame rays, cull vs LOCAL blocks, local BSR nearest.
+        # 1-2: full-frame rays, hierarchical cull vs LOCAL blocks
+        # (loc_groups=() is the flat single-level walk), local BSR nearest.
         d_rows = raygen.ray_rows_flat(cam, self.width, self.height, perm)
         rays = bsr_trace.pack_rays_rows(cam.pos, d_rows)   # (8, n_pad_ext)
         ti = cull.tile_intervals_packed(rays, rt)
-        mask, entry = cull.block_mask_with_entry(ti, geom.block_lo,
-                                                 geom.block_hi)
-        count_p = mask.sum().astype(jnp.int32)
-        wl = cull.compact_worklist(mask, w_pad, entry=entry)
+        mask, entry, c_top = cull.multilevel_mask(
+            ti, geom.block_lo, geom.block_hi, self.loc_groups)
+        wl, p_exp = cull.multilevel_worklist(
+            ti, mask, entry, c_top, geom.block_lo, geom.block_hi,
+            self.loc_groups, w_pads)
+        p_counts = (c_top.astype(jnp.int32),) + tuple(
+            c.astype(jnp.int32) for c in p_exp)
         tris_cam = bsr_trace.pack_tris_origin(geom.tris16, cam.pos)
         no_excl = jnp.full((self.n_pad_ext,), -1, jnp.int32)
         bt, bi = bsr_trace.bsr_nearest(
             rays, no_excl, tris_cam, wl.tile_ids, wl.block_ids, wl.entry,
-            wl.count, gid_base=gid0, rt=rt, tb=tb, w_pad=w_pad,
+            wl.count, gid_base=gid0, rt=rt, tb=tb, w_pad=w_pads[-1],
             interpret=self.interpret, shared_origin=True)
-        visited = jnp.repeat(mask.any(axis=1), rt)
+        visited = jnp.repeat(cull.visited_tiles(wl, self.n_pad_ext // rt),
+                             rt)
         bt = jnp.where(visited, bt, jnp.inf)
         bi = jnp.where(visited, bi, jnp.int32(bsr_trace.BIG_IDX))
 
@@ -463,25 +510,31 @@ class HaloCulledRenderer:
             best_g.T, self.cfg)
         live_l = shade.light_gates_rows(lights_col, cam.pos, prep, valid)
         excl = jnp.where(valid, best_i, -1)
+        nl = len(self.loc_groups) + 1
         lit = []
-        count_s = jnp.int32(0)
+        s_counts = [jnp.int32(0)] * nl
         for li in range(self.n_lights):
             q_g = jax.lax.all_gather(prep.q_rev[li], AXIS, axis=1, tiled=True)
             live_g = jax.lax.all_gather(live_l[li], AXIS, tiled=True)
             excl_g = jax.lax.all_gather(excl, AXIS, tiled=True)
             ti_s = cull.tile_intervals_packed(q_g, rt, live=live_g,
                                               use_tmax=True)
-            smask, sentry = cull.block_mask_with_entry(ti_s, geom.block_lo,
-                                                       geom.block_hi)
-            count_s = jnp.maximum(count_s, smask.sum().astype(jnp.int32))
-            swl = cull.compact_worklist(smask, w_pad_sh, entry=sentry)
+            smask, sentry, sc_top = cull.multilevel_mask(
+                ti_s, geom.block_lo, geom.block_hi, self.loc_groups)
+            swl, s_exp = cull.multilevel_worklist(
+                ti_s, smask, sentry, sc_top, geom.block_lo, geom.block_hi,
+                self.loc_groups, w_pads_sh)
+            lv = (sc_top.astype(jnp.int32),) + tuple(
+                c.astype(jnp.int32) for c in s_exp)
+            s_counts = [jnp.maximum(a, b) for a, b in zip(s_counts, lv)]
             tris_l = bsr_trace.pack_tris_origin(geom.tris16,
                                                 lights_pos[li])
             hit = bsr_trace.bsr_any(
                 q_g, excl_g, tris_l, swl.tile_ids, swl.block_ids, swl.entry,
-                swl.count, gid_base=gid0, rt=rt, tb=tb, w_pad=w_pad_sh,
+                swl.count, gid_base=gid0, rt=rt, tb=tb, w_pad=w_pads_sh[-1],
                 interpret=self.interpret, shared_origin=True)
-            hit = jnp.where(jnp.repeat(smask.any(axis=1), rt), hit, 0)
+            s_visited = cull.visited_tiles(swl, self.n_pad_ext // rt)
+            hit = jnp.where(jnp.repeat(s_visited, rt), hit, 0)
             hit_h = a2a(hit).reshape(n, self.r_loc)
             lit.append(hit_h.max(axis=0) == 0)
         lit = (jnp.stack(lit) if lit
@@ -490,7 +543,7 @@ class HaloCulledRenderer:
         # 5: local Phong from the carried rows.
         colour = shade.shade_core_rows(lights_col, cam.pos, prep,
                                        valid, lit)
-        counts = jnp.stack([count_p, count_s])[None, :]    # (1, 2)
+        counts = jnp.stack([*p_counts, *s_counts])[None, :]  # (1, 2*nl)
         return colour, counts
 
     def _shard_fn_bounced(self, w_pads: tuple, w_pads_sh: tuple,
@@ -514,13 +567,17 @@ class HaloCulledRenderer:
         throughput = jnp.ones((3, self.r_loc), jnp.float32)
         view = cam.pos
         counts = []
+        nl = len(self.loc_groups) + 1
         for b in range(self.bounces + 1):
-            # nearest vs LOCAL blocks over the (gathered) full ray set
+            # hierarchical cull vs LOCAL blocks over the gathered ray set
             ti = cull.tile_intervals_packed(rays_all, rt, live=live_all)
-            mask, entry = cull.block_mask_with_entry(ti, geom.block_lo,
-                                                     geom.block_hi)
-            count_p = mask.sum().astype(jnp.int32)
-            wl = cull.compact_worklist(mask, w_pads[b], entry=entry)
+            mask, entry, c_top = cull.multilevel_mask(
+                ti, geom.block_lo, geom.block_hi, self.loc_groups)
+            wl, p_exp = cull.multilevel_worklist(
+                ti, mask, entry, c_top, geom.block_lo, geom.block_hi,
+                self.loc_groups, w_pads[b])
+            p_counts = (c_top.astype(jnp.int32),) + tuple(
+                c.astype(jnp.int32) for c in p_exp)
             if b == 0:
                 tris_arg = bsr_trace.pack_tris_origin(geom.tris16, cam.pos)
             else:
@@ -528,9 +585,10 @@ class HaloCulledRenderer:
             bt, bi = bsr_trace.bsr_nearest(
                 rays_all, excl_all, tris_arg, wl.tile_ids, wl.block_ids,
                 wl.entry, wl.count, gid_base=gid0, rt=rt, tb=tb,
-                w_pad=w_pads[b], interpret=self.interpret,
+                w_pad=w_pads[b][-1], interpret=self.interpret,
                 shared_origin=(b == 0))
-            visited = jnp.repeat(mask.any(axis=1), rt)
+            visited = jnp.repeat(
+                cull.visited_tiles(wl, self.n_pad_ext // rt), rt)
             bt = jnp.where(visited, bt, jnp.inf)
             bi = jnp.where(visited, bi, jnp.int32(bsr_trace.BIG_IDX))
 
@@ -561,27 +619,30 @@ class HaloCulledRenderer:
             excl_sh = jnp.where(valid, best_i, -1)
             excl_g = jax.lax.all_gather(excl_sh, AXIS, tiled=True)
             lit = []
-            count_s = jnp.int32(0)
+            s_counts = [jnp.int32(0)] * nl
             for li in range(self.n_lights):
                 q_g = jax.lax.all_gather(prep.q_rev[li], AXIS, axis=1,
                                          tiled=True)
                 live_g = jax.lax.all_gather(live_l[li], AXIS, tiled=True)
                 ti_s = cull.tile_intervals_packed(q_g, rt, live=live_g,
                                                   use_tmax=True)
-                smask, sentry = cull.block_mask_with_entry(
-                    ti_s, geom.block_lo, geom.block_hi)
-                count_s = jnp.maximum(count_s,
-                                      smask.sum().astype(jnp.int32))
-                swl = cull.compact_worklist(smask, w_pads_sh[b],
-                                            entry=sentry)
+                smask, sentry, sc_top = cull.multilevel_mask(
+                    ti_s, geom.block_lo, geom.block_hi, self.loc_groups)
+                swl, s_exp = cull.multilevel_worklist(
+                    ti_s, smask, sentry, sc_top, geom.block_lo,
+                    geom.block_hi, self.loc_groups, w_pads_sh[b])
+                lv = (sc_top.astype(jnp.int32),) + tuple(
+                    c.astype(jnp.int32) for c in s_exp)
+                s_counts = [jnp.maximum(a, c) for a, c in zip(s_counts, lv)]
                 tris_l = bsr_trace.pack_tris_origin(geom.tris16,
                                                     lights_pos[li])
                 hit = bsr_trace.bsr_any(
                     q_g, excl_g, tris_l, swl.tile_ids, swl.block_ids,
                     swl.entry, swl.count, gid_base=gid0, rt=rt, tb=tb,
-                    w_pad=w_pads_sh[b], interpret=self.interpret,
+                    w_pad=w_pads_sh[b][-1], interpret=self.interpret,
                     shared_origin=True)
-                hit = jnp.where(jnp.repeat(smask.any(axis=1), rt), hit, 0)
+                s_visited = cull.visited_tiles(swl, self.n_pad_ext // rt)
+                hit = jnp.where(jnp.repeat(s_visited, rt), hit, 0)
                 hit_h = a2a(hit).reshape(n, self.r_loc)
                 lit.append(hit_h.max(axis=0) == 0)
             lit = (jnp.stack(lit) if lit
@@ -590,7 +651,7 @@ class HaloCulledRenderer:
             local = shade.shade_core_rows(lights_col, view, prep, valid,
                                           lit)
             colour = colour + throughput * local
-            counts.append(jnp.stack([count_p, count_s]))
+            counts.append(jnp.stack([*p_counts, *s_counts]))
             if b == self.bounces:
                 break
             throughput = jnp.where(valid[None, :],
@@ -606,15 +667,22 @@ class HaloCulledRenderer:
 
     def _freeze_bounced(self, counts: np.ndarray) -> None:
         """Compile the bounce pipeline with per-bounce buckets from the
-        (B+1, n, 2) sizing counts x margin, grow-only across refreezes."""
-        worst = counts.max(axis=1)                 # (B+1, 2)
-        w_pads = tuple(_bucket(int(w), self.margin) for w in worst[:, 0])
-        w_pads_sh = tuple(_bucket(int(w), self.margin) for w in worst[:, 1])
+        (B+1, n, 2*(L+1)) sizing counts x margin, grow-only across
+        refreezes. Each bounce gets per-LOCAL-level bucket tuples."""
+        nl = len(self.loc_groups) + 1
+        worst = counts.max(axis=1)                 # (B+1, 2*nl)
+        w_pads = tuple(tuple(_bucket(int(w), self.margin)
+                             for w in worst[b, :nl])
+                       for b in range(worst.shape[0]))
+        w_pads_sh = tuple(tuple(_bucket(int(w), self.margin)
+                                for w in worst[b, nl:])
+                          for b in range(worst.shape[0]))
         prev = getattr(self, "w_pads", None)
         if prev is not None:
-            w_pads = tuple(max(a, b) for a, b in zip(w_pads, prev))
-            w_pads_sh = tuple(max(a, b)
-                              for a, b in zip(w_pads_sh, self.w_pads_sh))
+            w_pads = tuple(tuple(max(a, b) for a, b in zip(q, pq))
+                           for q, pq in zip(w_pads, prev))
+            w_pads_sh = tuple(tuple(max(a, b) for a, b in zip(q, pq))
+                              for q, pq in zip(w_pads_sh, self.w_pads_sh))
         self.w_pads, self.w_pads_sh = w_pads, w_pads_sh
         fn = functools.partial(self._shard_fn_bounced, w_pads, w_pads_sh)
         geom_specs = ShardedGeometry(
@@ -630,9 +698,15 @@ class HaloCulledRenderer:
     def _freeze(self, counts: np.ndarray) -> None:
         from distributed_raytracer_tpu.models.scene import SceneDiff
 
-        self.w_pad = _bucket(int(counts[:, 0].max()), self.margin)
-        self.w_pad_sh = _bucket(int(counts[:, 1].max()), self.margin)
-        fn = functools.partial(self._shard_fn, self.w_pad, self.w_pad_sh)
+        nl = len(self.loc_groups) + 1
+        self.w_pads = tuple(_bucket(int(counts[:, k].max()), self.margin)
+                            for k in range(nl))
+        self.w_pads_sh = tuple(
+            _bucket(int(counts[:, nl + k].max()), self.margin)
+            for k in range(nl))
+        # Finest-level aliases (kept for diagnostics/tests).
+        self.w_pad, self.w_pad_sh = self.w_pads[-1], self.w_pads_sh[-1]
+        fn = functools.partial(self._shard_fn, self.w_pads, self.w_pads_sh)
         geom_specs = ShardedGeometry(
             tris16=P(AXIS), table32=P(AXIS), block_lo=P(AXIS),
             block_hi=P(AXIS), base=P(AXIS))
@@ -657,7 +731,7 @@ class HaloCulledRenderer:
     # -- public -------------------------------------------------------------
 
     def device_fn(self, cam: CameraArrays):
-        """(colour rows (3, n_pad_ext), per-shard counts (n, 2)) on device."""
+        """(colour rows (3, n_pad_ext), per-shard per-level counts) on device."""
         return self._render_jit(cam, self.geom, self._perm,
                                 self.lights_pos, self.lights_col)
 
@@ -674,20 +748,23 @@ class HaloCulledRenderer:
         rows, counts = self.device_fn(cam)
         if verify:
             c = np.asarray(counts)
+            nl = len(self.loc_groups) + 1
             if self.bounces:
-                # counts: (n, B+1, 2). Masks are exact per bounce, so one
-                # grow-only refreeze from true counts suffices.
-                worst = c.max(axis=0)            # (B+1, 2)
-                if (any(int(worst[b, 0]) > self.w_pads[b]
-                        for b in range(self.bounces + 1))
-                        or any(int(worst[b, 1]) > self.w_pads_sh[b]
-                               for b in range(self.bounces + 1))):
+                # counts: (n, B+1, 2*nl). Masks are exact per bounce, so
+                # one grow-only refreeze from true counts suffices.
+                worst = c.max(axis=0)            # (B+1, 2*nl)
+                if any(int(worst[b, k]) > (self.w_pads[b] +
+                                           self.w_pads_sh[b])[k]
+                       for b in range(self.bounces + 1)
+                       for k in range(2 * nl)):
                     self._freeze_bounced(c.transpose(1, 0, 2))
                     rows, counts = self.device_fn(cam)
-            elif int(c[:, 0].max()) > self.w_pad or \
-                    int(c[:, 1].max()) > self.w_pad_sh:
-                self._freeze(c)                  # re-size from true counts
-                rows, counts = self.device_fn(cam)
+            else:
+                pads_vec = self.w_pads + self.w_pads_sh
+                if any(int(c[:, k].max()) > pads_vec[k]
+                       for k in range(2 * nl)):
+                    self._freeze(c)              # re-size from true counts
+                    rows, counts = self.device_fn(cam)
         self.last_counts = np.asarray(counts)
         return self._assemble(rows)
 
@@ -707,8 +784,9 @@ class HaloCulledRenderer:
         rows, counts = self._render_dyn_jit(*args)
         if verify:
             c = np.asarray(counts)
-            if int(c[:, 0].max()) > self.w_pad or \
-                    int(c[:, 1].max()) > self.w_pad_sh:
+            pads_vec = self.w_pads + self.w_pads_sh
+            if any(int(c[:, k].max()) > pads_vec[k]
+                   for k in range(len(pads_vec))):
                 self._freeze(c)
                 rows, counts = self._render_dyn_jit(*args)
         self.last_counts = np.asarray(counts)
@@ -720,6 +798,7 @@ class HaloCulledRenderer:
         work-reduction diagnostic the dense sharded paths cannot offer
         (they always do rays x T/N per shard)."""
         c = self.last_counts
-        cells = (c[:, :, 0].sum() if c.ndim == 3      # (n, B+1, 2) bounced
-                 else c[:, 0].sum())
+        fin = len(self.loc_groups)          # finest primary level column
+        cells = (c[:, :, fin].sum() if c.ndim == 3    # bounced layout
+                 else c[:, fin].sum())
         return int(cells) * self.rt * self.tb

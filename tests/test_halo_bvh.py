@@ -142,3 +142,31 @@ def test_halo_bounces_match_replicated_suzanne(suzanne_scene, mesh8):
     diff = np.abs(out - ref).max(-1)
     assert (diff > 2 / 255).mean() < 0.005
     assert np.abs(out - ref).mean() < 1e-3
+
+
+def test_halo_local_hierarchy_matches_flat(suzanne_scene, mesh8):
+    """The per-shard superblock level (local_levels=2, auto-enabled above
+    ~1024 resident blocks) must be image-identical to the flat per-shard
+    cull — the local unions are the same conservative interval math, and
+    the shard padding keeps groups from straddling shards."""
+    w, h = 64, 48
+    flat = halo_bvh.HaloCulledRenderer(suzanne_scene, w, h, mesh=mesh8,
+                                       interpret=True, local_levels=1)
+    want = flat.render(suzanne_scene.camera, verify=True)
+    hier = halo_bvh.HaloCulledRenderer(suzanne_scene, w, h, mesh=mesh8,
+                                       interpret=True, local_levels=2,
+                                       local_group=2)
+    assert hier.loc_groups == (2,)
+    got = hier.render(suzanne_scene.camera, verify=True)
+    assert hier.last_counts.shape == (8, 4)     # per-level: (p0,p1,s0,s1)
+    np.testing.assert_array_equal(got, want)
+    # Bounces through the hierarchy too.
+    fb = halo_bvh.HaloCulledRenderer(suzanne_scene, w, h, mesh=mesh8,
+                                     interpret=True, bounces=1,
+                                     local_levels=2, local_group=2)
+    got_b = fb.render(suzanne_scene.camera, verify=True)
+    ref_b = halo_bvh.HaloCulledRenderer(suzanne_scene, w, h, mesh=mesh8,
+                                        interpret=True, bounces=1,
+                                        local_levels=1)
+    want_b = ref_b.render(suzanne_scene.camera, verify=True)
+    np.testing.assert_array_equal(got_b, want_b)
