@@ -58,7 +58,7 @@ import numpy as np
 
 BASELINE_MRAYS = 1.93  # reference aggregate primary rays/s (96 vCPUs)
 T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "590"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 _result = None          # best-so-far JSON dict, printed on early termination
@@ -429,6 +429,11 @@ def main():
     # interactive per-dispatch time.
     best_batched = culled_s
     try:
+        if _budget_left() < 420:
+            # A congested link already ate the margin; the batched number
+            # is a secondary diagnostic — yield its ~30-60 s to the
+            # never-yet-captured configs downstream.
+            raise TimeoutError("skipped on budget")
         imgs, counts = culled.render_many(cams)
         jax.block_until_ready(imgs)
         reps, t0 = 3, time.perf_counter()
@@ -466,8 +471,9 @@ def main():
     best_s = min(culled_s, best_batched)
     _result = headline(best_s)
 
-    # Config 1 — dense path (968 tris fits the brute-force sweep).
-    if _budget_left() > 30:
+    # Config 1 — dense path (968 tris fits the brute-force sweep; a
+    # secondary diagnostic, so it yields its ~25 s when the link is slow).
+    if _budget_left() > 400:
         arrays = jax.device_put(scene.bake())
         dense_s = _bench_frames(
             lambda c: render_frame(arrays, c, width, height), cams, n_frames)
