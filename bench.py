@@ -20,12 +20,13 @@ child prints one JSON object of extras on its last stdout line (also on
 SIGTERM); the parent merges, and on timeout it SIGTERMs the child and
 waits briefly for that partial line before giving up.
 
-Config order after the headline: the CHEAP configs first — config 3
-(62K-tri instancing), `loop` (the interactive frame loop +
-reference-exact FPS stats at 640x480 — the reference's actual
-deliverable, master/main.go:240-325), config 2 (1080p multi-bounce),
-config 4 (139K tris at 4K) — then config 5 (5.2M-tri icosphere, the
-block-partitioned north star) LAST with whatever budget remains.
+Config order after the headline: the CHEAP configs first — `loop` (the
+interactive frame loop + reference-exact FPS stats at 640x480, the
+reference's actual deliverable, master/main.go:240-325, and the
+lightest to load, so it captures even on a congested link), config 3
+(62K-tri instancing), config 2 (1080p multi-bounce), config 4 (139K
+tris at 4K) — then config 5 (5.2M-tri icosphere, the block-partitioned
+north star) LAST with whatever budget remains.
 Round 3 ran config 5 first and it consumed 457 s of the 540 s budget,
 starving the four cheap configs; the cheap group is therefore also
 CAPPED at (remaining - config 5's floor) so config 5 always keeps its
@@ -338,7 +339,7 @@ CONFIGS = {
 # the shared child's budget before 2/4 started). Inside each group every
 # config still runs under its own try/except, so one failure costs one
 # data point, and the child emits whatever it measured on SIGTERM.
-CHILD_GROUPS = (("3", "loop"), ("2", "4"), ("5",))
+CHILD_GROUPS = (("loop", "3"), ("2", "4"), ("5",))
 # Floor reserved for config 5 when budgeting the groups before it.
 RESERVE_5 = CONFIGS["5"][1]
 
