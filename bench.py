@@ -430,7 +430,7 @@ def main():
     # interactive per-dispatch time.
     best_batched = culled_s
     try:
-        if _budget_left() < 420:
+        if _budget_left() < 440:
             # A congested link already ate the margin; the batched number
             # is a secondary diagnostic — yield its ~30-60 s to the
             # never-yet-captured configs downstream.
@@ -474,7 +474,7 @@ def main():
 
     # Config 1 — dense path (968 tris fits the brute-force sweep; a
     # secondary diagnostic, so it yields its ~25 s when the link is slow).
-    if _budget_left() > 400:
+    if _budget_left() > 460:
         arrays = jax.device_put(scene.bake())
         dense_s = _bench_frames(
             lambda c: render_frame(arrays, c, width, height), cams, n_frames)
