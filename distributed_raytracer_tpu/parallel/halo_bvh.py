@@ -60,12 +60,15 @@ bounce rounds are BASELINE.json's "secondary-ray halo exchange" north star.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_log = logging.getLogger(__name__)
 
 try:
     shard_map = jax.shard_map
@@ -80,6 +83,25 @@ from distributed_raytracer_tpu.utils.config import RenderConfig, DEFAULT_CONFIG
 
 AXIS = "geom"
 _bucket = bsr_trace.bucket_w_pad
+
+
+def reflect_rows(cfg, prep, rays, valid):
+    """Reflection rays + liveness from one bounce's shading prep —
+    EXACTLY ops/render_bvh.CulledRenderer._reflect_from's math (shading
+    normal for both the mirror and the epsilon lift). Shared by the halo
+    and ring geometry-sharded schedules."""
+    nrm = prep.normal
+    d = rays[3:6]
+    d_dot_n = jnp.sum(d * nrm, axis=0)
+    refl = d - 2.0 * d_dot_n[None, :] * nrm
+    rlen = jnp.sqrt(jnp.sum(refl * refl, axis=0, keepdims=True))
+    refl = refl / jnp.where(rlen > 0, rlen, 1.0)
+    side = jnp.where(jnp.sum(nrm * refl, axis=0) >= 0.0, 1.0, -1.0)
+    o = (prep.x + cfg.shadow_offset * refl
+         + (cfg.shadow_normal_offset * side)[None, :] * nrm)
+    r_rays = bsr_trace.pack_rays_rows(o, refl)
+    live = valid & jnp.any(prep.ks > 0.0, axis=0)
+    return r_rays, live
 
 
 class ShardedGeometry(NamedTuple):
@@ -182,10 +204,6 @@ class HaloCulledRenderer:
         if mesh is None:
             mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
         self.bounces = int(bounces)
-        if self.bounces and dynamic:
-            raise NotImplementedError(
-                "halo bounces with per-frame diffs: combine render_dynamic "
-                "with bounces=0, or bounces with static scenes")
         self.mesh = mesh
         self.n = int(mesh.devices.size)
         self.width, self.height, self.cfg = width, height, cfg
@@ -359,22 +377,7 @@ class HaloCulledRenderer:
     # -- bounce sizing (build time, one device, full geometry) --------------
 
     def _reflect_rows(self, prep, rays, valid):
-        """Reflection rays + liveness from one bounce's shading prep —
-        EXACTLY ops/render_bvh.CulledRenderer._reflection_query's math
-        (shading normal for both the mirror and the epsilon lift)."""
-        cfg = self.cfg
-        nrm = prep.normal
-        d = rays[3:6]
-        d_dot_n = jnp.sum(d * nrm, axis=0)
-        refl = d - 2.0 * d_dot_n[None, :] * nrm
-        rlen = jnp.sqrt(jnp.sum(refl * refl, axis=0, keepdims=True))
-        refl = refl / jnp.where(rlen > 0, rlen, 1.0)
-        side = jnp.where(jnp.sum(nrm * refl, axis=0) >= 0.0, 1.0, -1.0)
-        o = (prep.x + cfg.shadow_offset * refl
-             + (cfg.shadow_normal_offset * side)[None, :] * nrm)
-        r_rays = bsr_trace.pack_rays_rows(o, refl)
-        live = valid & jnp.any(prep.ks > 0.0, axis=0)
-        return r_rays, live
+        return reflect_rows(self.cfg, prep, rays, valid)
 
     def _size_mask(self, blo, bhi, rays, live):
         ti = cull.tile_intervals_packed(rays, self.rt, live=live)
@@ -548,12 +551,18 @@ class HaloCulledRenderer:
 
     def _shard_fn_bounced(self, w_pads: tuple, w_pads_sh: tuple,
                           cam: CameraArrays, geom: ShardedGeometry, perm,
-                          lights_pos, lights_col):
+                          lights_pos, lights_col,
+                          dyn: Optional[DynGeometry] = None, diff=None):
         """N-bounce Whitted frame on sharded geometry (module docstring
         "Multi-bounce"). Semantics match CulledRenderer.render_bounced
         exactly; the fold tie-break (t, then global id) makes the radiance
-        independent of shard order."""
+        independent of shard order. With `diff`, the frame's SceneDiff
+        folds into each shard's resident rows BEFORE bounce 0 — every
+        bounce's cull, trace, and shading then see the updated geometry
+        (environment.go:73-98's every-worker-applies-every-diff)."""
         n, rt, tb = self.n, self.rt, self.tb
+        if diff is not None:
+            geom = apply_diff_sharded(geom, dyn, diff)
         gid0 = geom.base[0]
         me = jax.lax.axis_index(AXIS)
         a2a = lambda x: jax.lax.all_to_all(x, AXIS, split_axis=0,
@@ -694,16 +703,39 @@ class HaloCulledRenderer:
             out_specs=(P(None, AXIS), P(AXIS)),
             check_vma=False,
         ))
+        if self._dyn is not None:
+            from distributed_raytracer_tpu.models.scene import SceneDiff
+
+            dyn_specs = DynGeometry(obj_id=P(AXIS), block_obj=P(AXIS),
+                                    obj_pos0=P())
+            diff_specs = SceneDiff(*(P() for _ in SceneDiff._fields))
+            self._render_dyn_jit = jax.jit(shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(), geom_specs, P(), P(), P(), dyn_specs,
+                          diff_specs),
+                out_specs=(P(None, AXIS), P(AXIS)),
+                check_vma=False,
+            ))
 
     def _freeze(self, counts: np.ndarray) -> None:
         from distributed_raytracer_tpu.models.scene import SceneDiff
 
         nl = len(self.loc_groups) + 1
-        self.w_pads = tuple(_bucket(int(counts[:, k].max()), self.margin)
-                            for k in range(nl))
-        self.w_pads_sh = tuple(
+        w_pads = tuple(_bucket(int(counts[:, k].max()), self.margin)
+                       for k in range(nl))
+        w_pads_sh = tuple(
             _bucket(int(counts[:, nl + k].max()), self.margin)
             for k in range(nl))
+        # Grow-only across refreezes (as _freeze_bounced): the verify loops
+        # rebuild from the latest reported counts, and without the max a
+        # bucket could oscillate and break the each-round-strictly-grows
+        # convergence argument.
+        prev = getattr(self, "w_pads", None)
+        if prev is not None and len(prev) == nl:
+            w_pads = tuple(max(a, b) for a, b in zip(w_pads, prev))
+            w_pads_sh = tuple(max(a, b)
+                              for a, b in zip(w_pads_sh, self.w_pads_sh))
+        self.w_pads, self.w_pads_sh = w_pads, w_pads_sh
         # Finest-level aliases (kept for diagnostics/tests).
         self.w_pad, self.w_pad_sh = self.w_pads[-1], self.w_pads_sh[-1]
         fn = functools.partial(self._shard_fn, self.w_pads, self.w_pads_sh)
@@ -744,35 +776,52 @@ class HaloCulledRenderer:
         return img[:self.height, :self.width]
 
     def render(self, camera, verify: bool = False) -> np.ndarray:
+        """With verify=True, LOOP until every reported count fits its
+        bucket (up to 8 grow-only refreezes), as CulledRenderer.render_fast:
+        with the hierarchical local cull a truncated top-level compaction
+        makes the finer-level expansion counts UNDERCOUNTS, and in the
+        bounced pipeline later bounces' ray sets derive from earlier
+        (possibly truncated) nearest results — so a single refreeze from
+        reported counts can still drop candidate blocks. Only a re-render
+        whose counts all fit proves nothing was truncated."""
         cam = camera.to_arrays() if isinstance(camera, Camera) else camera
         rows, counts = self.device_fn(cam)
         if verify:
-            c = np.asarray(counts)
             nl = len(self.loc_groups) + 1
-            if self.bounces:
-                # counts: (n, B+1, 2*nl). Masks are exact per bounce, so
-                # one grow-only refreeze from true counts suffices.
-                worst = c.max(axis=0)            # (B+1, 2*nl)
-                if any(int(worst[b, k]) > (self.w_pads[b] +
-                                           self.w_pads_sh[b])[k]
-                       for b in range(self.bounces + 1)
-                       for k in range(2 * nl)):
+            fits = False
+            for _ in range(8):   # each round strictly grows some bucket
+                c = np.asarray(counts)
+                if self.bounces:
+                    # counts: (n, B+1, 2*nl)
+                    worst = c.max(axis=0)        # (B+1, 2*nl)
+                    if all(int(worst[b, k]) <= (self.w_pads[b] +
+                                                self.w_pads_sh[b])[k]
+                           for b in range(self.bounces + 1)
+                           for k in range(2 * nl)):
+                        fits = True
+                        break
                     self._freeze_bounced(c.transpose(1, 0, 2))
-                    rows, counts = self.device_fn(cam)
-            else:
-                pads_vec = self.w_pads + self.w_pads_sh
-                if any(int(c[:, k].max()) > pads_vec[k]
-                       for k in range(2 * nl)):
+                else:
+                    pads_vec = self.w_pads + self.w_pads_sh
+                    if all(int(c[:, k].max()) <= pads_vec[k]
+                           for k in range(2 * nl)):
+                        fits = True
+                        break
                     self._freeze(c)              # re-size from true counts
-                    rows, counts = self.device_fn(cam)
+                rows, counts = self.device_fn(cam)
+            if not fits:
+                _log.warning(
+                    "halo verify did not converge in 8 rounds (counts %s); "
+                    "image may drop blocks", np.asarray(counts).tolist())
         self.last_counts = np.asarray(counts)
         return self._assemble(rows)
 
     def render_dynamic(self, camera, diff, verify: bool = False):
         """One sharded dispatch with the frame's SceneDiff folded into each
         shard's resident geometry (requires dynamic=True at construction).
-        Counts are exact (full masks), so one refreeze suffices on
-        overflow."""
+        verify=True loops up to 8 grow-only refreezes until every count
+        fits (see render(): with the hierarchical local cull a truncated
+        top-level compaction makes finer-level counts undercounts)."""
         from distributed_raytracer_tpu.models.scene import SceneDiff
 
         if self._dyn is None:
@@ -783,12 +832,32 @@ class HaloCulledRenderer:
                 self._dyn, diff)
         rows, counts = self._render_dyn_jit(*args)
         if verify:
-            c = np.asarray(counts)
-            pads_vec = self.w_pads + self.w_pads_sh
-            if any(int(c[:, k].max()) > pads_vec[k]
-                   for k in range(len(pads_vec))):
-                self._freeze(c)
+            nl = len(self.loc_groups) + 1
+            fits = False
+            for _ in range(8):
+                c = np.asarray(counts)
+                if self.bounces:
+                    worst = c.max(axis=0)        # (B+1, 2*nl)
+                    if all(int(worst[b, k]) <= (self.w_pads[b] +
+                                                self.w_pads_sh[b])[k]
+                           for b in range(self.bounces + 1)
+                           for k in range(2 * nl)):
+                        fits = True
+                        break
+                    self._freeze_bounced(c.transpose(1, 0, 2))
+                else:
+                    pads_vec = self.w_pads + self.w_pads_sh
+                    if all(int(c[:, k].max()) <= pads_vec[k]
+                           for k in range(len(pads_vec))):
+                        fits = True
+                        break
+                    self._freeze(c)
                 rows, counts = self._render_dyn_jit(*args)
+            if not fits:
+                _log.warning(
+                    "halo render_dynamic verify did not converge in 8 "
+                    "rounds (counts %s); image may drop blocks",
+                    np.asarray(counts).tolist())
         self.last_counts = np.asarray(counts)
         return self._assemble(rows)
 

@@ -20,10 +20,13 @@ Modes map to the reference topology:
   halo        - geometry block-partitioned across devices, rays exchanged,
                 per-shard BVH culling (the config-5 scale path)
   ring        - geometry rotated past resident rays (ring-attention
-                schedule), per-step BVH culling
+                schedule), per-step hierarchical BVH culling
 
---bounces N adds Whitted specular reflection bounces (culled /
-sharded-bvh / halo; on halo each bounce is a secondary-ray halo exchange).
+--bounces N adds Whitted specular reflection bounces (every mode except
+sequential/sharded: on halo each bounce is a secondary-ray halo exchange;
+on ring reflection rays stay resident and bounces are comm-free).
+--animate-objects composes with --bounces on halo/ring (per-frame
+SceneDiffs fold into every shard before tracing).
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                                       "sharded-bvh", "halo", "ring"],
                    default="culled")
     p.add_argument("--bounces", type=int, default=0,
-                   help="Whitted reflection bounces (culled / sharded-bvh / halo)")
+                   help="Whitted reflection bounces "
+                        "(culled / sharded-bvh / halo / ring)")
     p.add_argument("--animate-objects", action="store_true",
                    help="orbit object 0 via per-frame SceneDiffs (the "
                         "reference's per-WorkOrder EnvMutables, "
@@ -134,9 +138,10 @@ def main(argv=None) -> int:
     render_k = None   # set when frames depend on the index (object diffs)
     diffs = None
     if args.animate_objects:
-        if args.mode not in ("culled", "halo") or args.bounces:
-            raise SystemExit("--animate-objects supports --mode culled/halo "
-                             "(without --bounces)")
+        if args.mode not in ("culled", "halo", "ring") or (
+                args.bounces and args.mode == "culled"):
+            raise SystemExit("--animate-objects supports --mode "
+                             "culled/halo/ring (--bounces on halo/ring)")
         if args.multihost or (args.serve and args.mode != "culled"):
             raise SystemExit("--animate-objects + --serve needs --mode "
                              "culled; --multihost is unsupported")
@@ -206,9 +211,9 @@ def main(argv=None) -> int:
         else:
             from distributed_raytracer_tpu.parallel import ring_bvh as gmod
             cls = gmod.RingCulledRenderer
-            extra = {}
-            if args.bounces:
-                raise SystemExit("--bounces supports culled/sharded-bvh/halo")
+            # Ring bounces are comm-free: reflection rays stay resident
+            # and the next rotation streams geometry past them.
+            extra = {"bounces": args.bounces}
         ndev = args.devices or len(jax.devices())
         mesh = jax.make_mesh((ndev,), (gmod.AXIS,))
         if args.animate_objects:     # halo only (guarded above)

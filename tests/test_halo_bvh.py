@@ -170,3 +170,33 @@ def test_halo_local_hierarchy_matches_flat(suzanne_scene, mesh8):
                                         local_levels=1)
     want_b = ref_b.render(suzanne_scene.camera, verify=True)
     np.testing.assert_array_equal(got_b, want_b)
+
+
+def test_halo_bvh_dynamic_bounced(two_tetra_scene):
+    """SceneDiff + bounces compose on the halo schedule: the diff folds
+    into each shard's resident rows before bounce 0, and every bounce's
+    gather/cull/fold sees updated geometry (tracer.go:81's one-core-every-
+    topology, master/main.go:260-266's per-frame EnvMutables)."""
+    import copy
+
+    import jax
+
+    from distributed_raytracer_tpu.ops.render import render_frame_bounced
+    from distributed_raytracer_tpu.parallel import halo_bvh
+
+    scene = two_tetra_scene
+    w, h = 96, 64
+    mesh = jax.make_mesh((8,), (halo_bvh.AXIS,))
+    r = halo_bvh.HaloCulledRenderer(scene, w, h, mesh=mesh,
+                                    interpret=True, dynamic=True,
+                                    bounces=1, margin=4.0)
+    moved = copy.deepcopy(scene)
+    moved.set_object_pos(2, [-0.9, 0.4, -1.2])
+    moved.light_pos = moved.light_pos.copy()
+    moved.light_pos[0] = [1.5, 4.5, 5.5]
+    want = np.asarray(render_frame_bounced(
+        jax.device_put(moved.bake()), scene.camera.to_arrays(), w, h, 1))
+    got = np.asarray(r.render_dynamic(scene.camera, moved.make_diff(),
+                                      verify=True))
+    bad = (np.abs(got - want).max(-1) > 2 / 255).mean()
+    assert bad < 0.005, f"{bad:.4f} mismatched"

@@ -62,7 +62,12 @@ def main(argv) -> int:
         jax.block_until_ready(out)
         s = (time.perf_counter() - t0) / n
         lc = r._last_counts
-        pairs = (lc[1] + lc[-1]) * r.rt * r.tb
+        # Fine-level cells only: lc layout is [per-level primary counts
+        # (n_levels), hit-tile count, per-level shadow counts]. At config-5
+        # scale the renderer auto-selects cull_levels=3, so lc[1] is the
+        # MID level, not the finest — index by n_levels as
+        # bench._culled_extras and profiling.measure_culled do.
+        pairs = (lc[r.n_levels - 1] + lc[-1]) * r.rt * r.tb
         print(f"{label}: frame {s * 1e3:.1f} ms | counts {lc} | "
               f"pairs {pairs / 1e9:.2f} G | {pairs / s / 1e9:.1f} Gpairs/s | "
               f"exit_every={r.exit_every} | setup {setup_s:.0f}s",
