@@ -201,6 +201,101 @@ class Scene:
         """Real (unpadded) triangle count across all instances."""
         return sum(len(self.meshes[o.model].faces_v) for o in self.objects)
 
+    def _bake_bvh_native(self, block_size: int, grouped: bool):
+        """One-pass C++ bake (native/drt_native.cpp drt_bake_object): the
+        whole per-triangle loop — world-space placement, Baldwin-Weber
+        precompute, normals, per-slot AABBs with the bound-epsilon floor —
+        runs in OpenMP, writing rows directly at their final Morton/
+        gap-aligned slots. Behaviorally identical to the NumPy chain
+        (bake + reorder_scene + build_block_bvh, asserted by
+        tests/test_native.py) but ~20x faster at 5.24M triangles: the
+        reference's load+R-tree build is compiled Go (mesh.go:109-213),
+        and this is its native twin. Returns None to fall back."""
+        from distributed_raytracer_tpu.models import bvh as bvh_mod, native
+
+        if not self.objects or not native.available():
+            return None
+        counts = [len(self.meshes[o.model].faces_v) for o in self.objects]
+        starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        n_real = int(starts[-1])
+        if n_real == 0:
+            return None
+
+        # Material dedup across meshes — bake()'s exact loop, geometry-free.
+        mat_key_to_idx: Dict[tuple, int] = {}
+        mat_rows: List[tuple] = []
+        remaps = []
+        for obj in self.objects:
+            mesh = self.meshes[obj.model]
+            local = []
+            for m in mesh.materials:
+                key = (m.ka, m.kd, m.ks, m.ns)
+                idx = mat_key_to_idx.get(key)
+                if idx is None:
+                    idx = len(mat_rows)
+                    mat_rows.append(key)
+                    mat_key_to_idx[key] = idx
+                local.append(idx)
+            remaps.append(np.asarray(local, np.int32))
+        if not mat_rows:
+            mat_rows.append(((0.0,) * 3, (1.0,) * 3, (0.0,) * 3, 0.0))
+
+        if grouped:
+            # Per-object Morton + gap alignment: no leaf block ever spans
+            # two objects (_grouped_order's layout, same codes/order).
+            slot_chunks, id_chunks = [], []
+            for oi, obj in enumerate(self.objects):
+                mesh = self.meshes[obj.model]
+                cent = native.centroids(mesh.vertices, mesh.faces_v, obj.pos)
+                codes = native.morton_codes(cent)
+                order = np.argsort(codes, kind="stable")
+                slots = bvh_mod.gap_aligned_slots(codes[order], block_size)
+                full = np.where(slots >= 0,
+                                starts[oi] + order[np.maximum(slots, 0)], -1)
+                slot_chunks.append(full)
+                id_chunks.append(np.full(full.shape, oi, np.int32))
+            slot_src = np.concatenate(slot_chunks)
+            obj_id = np.concatenate(id_chunks)
+        else:
+            cents = np.empty((n_real, 3), np.float64)
+            for oi, obj in enumerate(self.objects):
+                mesh = self.meshes[obj.model]
+                cents[starts[oi]:starts[oi + 1]] = native.centroids(
+                    mesh.vertices, mesh.faces_v, obj.pos)
+            order = native.morton_argsort(cents)
+            codes = native.morton_codes(cents)[order]
+            slots = bvh_mod.gap_aligned_slots(codes, block_size)
+            slot_src = np.where(slots >= 0, order[np.maximum(slots, 0)], -1)
+            obj_id = None
+
+        out = native.BakeOut(slot_src.shape[0])
+        slot_src = np.ascontiguousarray(slot_src, np.int64)
+        for oi, obj in enumerate(self.objects):
+            mesh = self.meshes[obj.model]
+            native.bake_object(out, mesh.vertices, mesh.faces_v,
+                               mesh.faces_n, mesh.normals, mesh.has_normals,
+                               remaps[oi][mesh.face_mat], obj.pos, slot_src,
+                               int(starts[oi]), int(starts[oi + 1]))
+        lo, hi = native.block_bounds(out, block_size)
+        f = lambda a: np.asarray(a, np.float32)
+        arrays = SceneArrays(
+            p0=out.p0, e1=out.e1, e2=out.e2, geo_n=out.geo_n,
+            plane_d=out.plane_d, k_u=out.k_u, k_v=out.k_v,
+            c_u=out.c_u, c_v=out.c_v, n0=out.n0, n1=out.n1, n2=out.n2,
+            mat_id=out.mat_id,
+            mat_ka=f([m[0] for m in mat_rows]),
+            mat_kd=f([m[1] for m in mat_rows]),
+            mat_ks=f([m[2] for m in mat_rows]),
+            mat_ns=f([m[3] for m in mat_rows]),
+            light_pos=f(self.light_pos), light_col=f(self.light_col))
+        tree = bvh_mod.BlockBVH(block_lo=lo, block_hi=hi,
+                                block_size=block_size)
+        if grouped:
+            block_obj = obj_id.reshape(-1, block_size)[:, 0]
+            obj_pos0 = np.stack([o.pos for o in self.objects])
+            return arrays, tree, obj_id, block_obj, obj_pos0.astype(np.float32)
+        return arrays, tree
+
     def bake_bvh(self, block_size: int = 128, dtype=np.float32):
         """bake() + Morton reorder + gap-aligned leaf blocks + block AABBs.
 
@@ -209,9 +304,17 @@ class Scene:
         environment.go:183). Block boundaries align to Morton-code gaps
         (bvh.gap_aligned_slots) so a leaf never spans spatially distant
         clusters — padding triangles are degenerate zero rows.
+
+        Dispatches to the one-pass C++ bake (_bake_bvh_native) when the
+        native library is available; the NumPy chain below is the
+        behavioral reference and fallback.
         """
         from distributed_raytracer_tpu.models import bvh as bvh_mod
 
+        if dtype == np.float32:
+            got = self._bake_bvh_native(block_size, grouped=False)
+            if got is not None:
+                return got
         arrays = self.bake(dtype=dtype, tri_pad=block_size)
         n_real = self.num_tris
         p0 = np.asarray(arrays.p0, np.float64)
@@ -237,6 +340,10 @@ class Scene:
         baked object positions)."""
         from distributed_raytracer_tpu.models import bvh as bvh_mod
 
+        if dtype == np.float32:
+            got = self._bake_bvh_native(block_size, grouped=True)
+            if got is not None:
+                return got
         arrays = self.bake(dtype=dtype, tri_pad=block_size)
         slots, obj_id = _grouped_order(self, arrays, block_size)
         arrays = bvh_mod.reorder_scene(arrays, slots)

@@ -321,6 +321,33 @@ static inline uint64_t spread3(uint64_t x) {
   return x;
 }
 
+// Morton codes of 3D points normalized to their AABB — the same math as
+// models/bvh.py morton_codes (21 bits per axis).
+void drt_morton_codes(const double *pts, int64_t n, uint64_t *codes) {
+  if (n <= 0) return;
+  double lo[3] = {pts[0], pts[1], pts[2]};
+  double hi[3] = {pts[0], pts[1], pts[2]};
+  for (int64_t i = 0; i < n; ++i)
+    for (int c = 0; c < 3; ++c) {
+      double v = pts[3 * i + c];
+      if (v < lo[c]) lo[c] = v;
+      if (v > hi[c]) hi[c] = v;
+    }
+  double ext[3];
+  for (int c = 0; c < 3; ++c) {
+    ext[c] = hi[c] - lo[c];
+    if (ext[c] <= 0) ext[c] = 1.0;
+  }
+  const double scale = static_cast<double>((1ULL << 21) - 1);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t q[3];
+    for (int c = 0; c < 3; ++c)
+      q[c] = static_cast<uint64_t>((pts[3 * i + c] - lo[c]) / ext[c] * scale);
+    codes[i] = (spread3(q[0]) << 2) | (spread3(q[1]) << 1) | spread3(q[2]);
+  }
+}
+
 // Morton-argsort of 3D points (centroids); writes the permutation into
 // `order`. Matches models/bvh.py morton_codes/morton_order (stable sort).
 void drt_morton_argsort(const double *pts, int64_t n, int64_t *order) {
@@ -351,6 +378,156 @@ void drt_morton_argsort(const double *pts, int64_t n, int64_t *order) {
   std::stable_sort(keyed.begin(), keyed.end(),
                    [](const auto &a, const auto &b) { return a.first < b.first; });
   for (int64_t i = 0; i < n; ++i) order[i] = keyed[i].second;
+}
+
+// ---- Native scene bake (block-BVH layout) --------------------------------
+//
+// The array analog of the reference building its meshes + R-trees at load
+// time in compiled Go (mesh.go:109-213): the whole per-triangle bake loop —
+// world-space placement, Baldwin-Weber precompute (f64, cast f32), normals,
+// and the per-triangle AABBs with the bound-epsilon floor (util.go:7) —
+// runs here in one OpenMP pass per object, writing rows directly at their
+// final Morton/gap-aligned slots. The NumPy implementation (Scene.bake +
+// bvh.reorder_scene + bvh.build_block_bvh) remains the behavioral
+// reference and fallback; models/scene.py dispatches to this when the
+// library is available. At 5.24M triangles this path is ~20x faster than
+// the NumPy chain (which allocates a dozen full-size f64 temporaries).
+
+// Per-object world-space centroids: (v[f0] + v[f1] + v[f2]) / 3 + pos.
+void drt_centroids(const double *verts, const int32_t *faces, int64_t nf,
+                   const double *pos, double *out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nf; ++i) {
+    const int32_t *f = faces + 3 * i;
+    for (int c = 0; c < 3; ++c)
+      out[3 * i + c] = (verts[3 * f[0] + c] + verts[3 * f[1] + c] +
+                        verts[3 * f[2] + c]) / 3.0 + pos[c];
+  }
+}
+
+// Bake one object's triangles into the global slot layout.
+//
+// slot_src maps output slot -> GLOBAL source triangle id (-1 = padding);
+// this call processes slots whose source falls in [src_lo, src_hi) — the
+// object's contiguous run in the global triangle order — and writes their
+// rows. All math in double, outputs cast to float exactly as the NumPy
+// bake; tri_lo/tri_hi are the per-slot AABBs over the FLOAT32-cast
+// geometry (build_block_bvh's convention) with the 5e-5 half-epsilon floor.
+void drt_bake_object(
+    const double *verts, const int32_t *faces_v, const int32_t *faces_n,
+    const double *norms, int32_t has_normals, const int32_t *face_mat,
+    const double *pos, const int64_t *slot_src, int64_t n_slots,
+    int64_t src_lo, int64_t src_hi,
+    float *p0, float *e1, float *e2, float *geo_n, float *plane_d,
+    float *k_u, float *k_v, float *c_u, float *c_v,
+    float *n0, float *n1, float *n2, int32_t *mat_id,
+    double *tri_lo, double *tri_hi) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < n_slots; ++s) {
+    int64_t src = slot_src[s];
+    if (src < src_lo || src >= src_hi) continue;
+    int64_t t = src - src_lo;
+    const int32_t *fv = faces_v + 3 * t;
+    double P0[3], P1[3], P2[3], E1[3], E2[3];
+    for (int c = 0; c < 3; ++c) {
+      P0[c] = verts[3 * fv[0] + c] + pos[c];
+      P1[c] = verts[3 * fv[1] + c] + pos[c];
+      P2[c] = verts[3 * fv[2] + c] + pos[c];
+      E1[c] = P1[c] - P0[c];
+      E2[c] = P2[c] - P0[c];
+    }
+    double N[3] = {E1[1] * E2[2] - E1[2] * E2[1],
+                   E1[2] * E2[0] - E1[0] * E2[2],
+                   E1[0] * E2[1] - E1[1] * E2[0]};
+    double pd = N[0] * P0[0] + N[1] * P0[1] + N[2] * P0[2];
+    double nn = N[0] * N[0] + N[1] * N[1] + N[2] * N[2];
+    double KU[3] = {E2[1] * N[2] - E2[2] * N[1],
+                    E2[2] * N[0] - E2[0] * N[2],
+                    E2[0] * N[1] - E2[1] * N[0]};
+    double KV[3] = {N[1] * E1[2] - N[2] * E1[1],
+                    N[2] * E1[0] - N[0] * E1[2],
+                    N[0] * E1[1] - N[1] * E1[0]};
+    if (nn > 0.0) {
+      for (int c = 0; c < 3; ++c) { KU[c] /= nn; KV[c] /= nn; }
+    } else {
+      for (int c = 0; c < 3; ++c) { KU[c] = 0.0; KV[c] = 0.0; }
+    }
+    double CU = -(P0[0] * KU[0] + P0[1] * KU[1] + P0[2] * KU[2]);
+    double CV = -(P0[0] * KV[0] + P0[1] * KV[1] + P0[2] * KV[2]);
+
+    for (int c = 0; c < 3; ++c) {
+      p0[3 * s + c] = static_cast<float>(P0[c]);
+      e1[3 * s + c] = static_cast<float>(E1[c]);
+      e2[3 * s + c] = static_cast<float>(E2[c]);
+      geo_n[3 * s + c] = static_cast<float>(N[c]);
+      k_u[3 * s + c] = static_cast<float>(KU[c]);
+      k_v[3 * s + c] = static_cast<float>(KV[c]);
+    }
+    plane_d[s] = static_cast<float>(pd);
+    c_u[s] = static_cast<float>(CU);
+    c_v[s] = static_cast<float>(CV);
+    mat_id[s] = face_mat[t];
+
+    if (has_normals) {
+      const int32_t *fn = faces_n + 3 * t;
+      for (int c = 0; c < 3; ++c) {
+        n0[3 * s + c] = static_cast<float>(norms[3 * fn[0] + c]);
+        n1[3 * s + c] = static_cast<float>(norms[3 * fn[1] + c]);
+        n2[3 * s + c] = static_cast<float>(norms[3 * fn[2] + c]);
+      }
+    } else {
+      // Flat shading: the normalized face normal in all three slots
+      // (triangle.go:24-26 vs :29-31; degenerate faces get zeros, the
+      // NumPy path's nan_to_num).
+      double len = std::sqrt(nn);
+      double FN[3] = {0.0, 0.0, 0.0};
+      if (len > 0.0)
+        for (int c = 0; c < 3; ++c) FN[c] = N[c] / len;
+      for (int c = 0; c < 3; ++c) {
+        float f = static_cast<float>(FN[c]);
+        n0[3 * s + c] = f;
+        n1[3 * s + c] = f;
+        n2[3 * s + c] = f;
+      }
+    }
+
+    // Per-triangle AABB over the f32-cast geometry (what the kernels
+    // intersect), with the reference's bound-epsilon floor
+    // (util.go:7, mesh.go:44 — half-width 5e-5 per side).
+    for (int c = 0; c < 3; ++c) {
+      double a = static_cast<double>(p0[3 * s + c]);
+      double b = a + static_cast<double>(e1[3 * s + c]);
+      double d = a + static_cast<double>(e2[3 * s + c]);
+      double lo = std::min(a, std::min(b, d));
+      double hi = std::max(a, std::max(b, d));
+      double center = (lo + hi) / 2.0;
+      tri_lo[3 * s + c] = std::min(lo, center - 5e-5);
+      tri_hi[3 * s + c] = std::max(hi, center + 5e-5);
+    }
+  }
+}
+
+// Leaf-block AABB reduction over per-slot bounds (padding slots carry
+// (+inf, -inf) and vanish from the min/max; all-padding blocks stay
+// inverted, which the interval cull rejects explicitly).
+void drt_block_bounds(const double *tri_lo, const double *tri_hi,
+                      int64_t n_slots, int64_t block_size,
+                      float *block_lo, float *block_hi) {
+  int64_t nb = n_slots / block_size;
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    double lo[3] = {HUGE_VAL, HUGE_VAL, HUGE_VAL};
+    double hi[3] = {-HUGE_VAL, -HUGE_VAL, -HUGE_VAL};
+    for (int64_t s = b * block_size; s < (b + 1) * block_size; ++s)
+      for (int c = 0; c < 3; ++c) {
+        lo[c] = std::min(lo[c], tri_lo[3 * s + c]);
+        hi[c] = std::max(hi[c], tri_hi[3 * s + c]);
+      }
+    for (int c = 0; c < 3; ++c) {
+      block_lo[3 * b + c] = static_cast<float>(lo[c]);
+      block_hi[3 * b + c] = static_cast<float>(hi[c]);
+    }
+  }
 }
 
 }  // extern "C"
