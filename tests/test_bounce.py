@@ -1,5 +1,6 @@
 """Multi-bounce specular reflection tests (the BASELINE config-2 extension)."""
 
+import pytest
 import numpy as np
 
 from distributed_raytracer_tpu.ops.render import render_frame, render_frame_bounced
@@ -73,6 +74,7 @@ def test_culled_bounced_depth0_equals_render(tetra_scene):
     np.testing.assert_allclose(d0, base, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_culled_bounced_frozen_matches_sync(tetra_scene):
     import jax
     from distributed_raytracer_tpu.ops.render_bvh import CulledRenderer

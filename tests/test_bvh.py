@@ -272,6 +272,7 @@ def test_render_many_matches_fast(suzanne_scene):
         np.testing.assert_array_equal(np.asarray(imgs[k]), want)
 
 
+@pytest.mark.slow
 def test_three_level_cull_matches_two_level(suzanne_scene):
     """The super-superblock hierarchy (cull_levels=3, auto-enabled on
     multi-million-triangle scenes) must be image-identical to the 2-level

@@ -129,6 +129,7 @@ def test_halo_bounces_exact_tetra(tetra_scene, mesh8):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_halo_bounces_match_replicated_suzanne(suzanne_scene, mesh8):
     """depth-2 halo bounces vs the replicated render_bounced on the real
     asset: bit-close outside the usual BARY_EPS tie pixels."""
@@ -144,6 +145,7 @@ def test_halo_bounces_match_replicated_suzanne(suzanne_scene, mesh8):
     assert np.abs(out - ref).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_halo_local_hierarchy_matches_flat(suzanne_scene, mesh8):
     """The per-shard superblock level (local_levels=2, auto-enabled above
     ~1024 resident blocks) must be image-identical to the flat per-shard

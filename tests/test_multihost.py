@@ -137,10 +137,10 @@ def _single_process_reference(scene_path):
 
 @pytest.mark.parametrize("mode,nproc", [
     ("sharded-bvh", 2),
-    ("sharded-bvh", 4),
+    pytest.param("sharded-bvh", 4, marks=pytest.mark.slow),
     ("sharded-bvh-balanced", 2),
     ("halo", 2),
-    ("halo", 4),
+    pytest.param("halo", 4, marks=pytest.mark.slow),
 ])
 def test_production_paths_cross_process(scene_path, tmp_path, mode, nproc):
     """The PRODUCTION schedules across REAL process boundaries: Pallas

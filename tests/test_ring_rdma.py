@@ -10,6 +10,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # RDMA transport: kernel-level tests in test_ring_pallas.py stay in the default gate
+
 from distributed_raytracer_tpu.ops.render import render_frame
 from distributed_raytracer_tpu.parallel import ring
 

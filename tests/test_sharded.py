@@ -55,6 +55,7 @@ def test_sharded_subset_mesh(tetra_scene):
     np.testing.assert_allclose(img, single, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
