@@ -198,6 +198,21 @@ def config5():
     extras["config5_5.2m_frame_ms"] = round(s5 * 1e3, 2)
     extras["config5_5.2m_mrays"] = round(w * h / s5 / 1e6, 3)
     _culled_extras(extras, "config5", r5, s5, w, h)
+    # Cold-bake cost (round-5 native one-pass bake, drt_bake_object):
+    # re-bake the scene from in-memory meshes on THIS host to evidence the
+    # load-time parity claim (reference: compiled-Go mesh+R-tree build,
+    # mesh.go:109-213). Budget-gated; the mesh synthesis time is reported
+    # separately (it is scene generation, not loading).
+    if _budget_left() > 120 and sub == 9:
+        from distributed_raytracer_tpu.utils import scenes as S
+
+        t0 = time.monotonic()
+        sc = S.icosphere_scene(sub)
+        t_syn = time.monotonic() - t0
+        t0 = time.monotonic()
+        sc.bake_bvh(block_size=128)
+        extras["config5_cold_bake_s"] = round(time.monotonic() - t0, 1)
+        extras["config5_bake_synthesis_s"] = round(t_syn, 1)
     return extras
 
 
@@ -211,7 +226,9 @@ def config3():
     extras = {}
     w, h = 640, 480
     big = S.instanced_grid(_example_scene(), 8)
-    big_r = CulledRenderer(big, w, h)
+    # block_size="auto" -> 64: measured 28.2 -> 24.9 ms (-12%) with 25%
+    # fewer scheduled pairs on this config (round-5 tools/config_ab.py).
+    big_r = CulledRenderer(big, w, h, block_size="auto")
     big_r.render(big.camera, block=True)
     big_r.freeze(big.camera)
     poses = animation.orbit_camera_path(big.camera, 4, radius=20.0,
@@ -257,7 +274,14 @@ def config4():
     extras = {}
     w4, h4 = 3840, 2160
     c4 = S.instanced_grid(_example_scene(), 12)
-    r4 = CulledRenderer(c4, w4, h4)
+    # Round-5 A/B (tools/config_ab.py + follow-ups): 32x32 ray tiles
+    # (rt=1024) + 64-triangle leaves measured 593 -> 474 ms at -24% pairs
+    # (23.6 -> 18.0 G). At 4K the default 32x16 tiles are already
+    # angularly tight, so the config-5 16x16 recipe LOST here (746 ms);
+    # the win is fewer, larger tiles (half the cull/compaction/per-tile
+    # overhead). The pure bs64 variant schedules the fewest pairs
+    # (14.3 G) but runs 545 ms — wall time picked the adopted config.
+    r4 = CulledRenderer(c4, w4, h4, ray_tile=1024, block_size=64)
     r4.render(c4.camera, block=True)
     r4.freeze(c4.camera)
     p4 = animation.orbit_camera_path(c4.camera, 3, radius=30.0,
@@ -283,7 +307,7 @@ def config_loop():
     extras = {}
     w, h = 640, 480
     scene = _example_scene()
-    r = CulledRenderer(scene, w, h)
+    r = CulledRenderer(scene, w, h, block_size="auto")
     r.render(scene.camera, block=True)
     r.freeze(scene.camera)
     # The DISPLAYED frame crosses the host link (~0.9 MB as u8); on a
@@ -415,6 +439,11 @@ def main():
 
     # Config 1 — block-sparse path first (it is the production path and the
     # usual winner; if the budget dies early we still have a headline).
+    # block_size=128 here on purpose: config1_sol_fraction has tracked this
+    # leaf size since round 3 (75 M scheduled pairs), so its value stays
+    # comparable across rounds; the ADOPTED per-scene policy (block 64,
+    # utils/config.default_block_size) is measured separately below and
+    # usually carries the headline.
     culled = CulledRenderer(scene, width, height)
     culled.render(scene.camera, block=True)
     culled.freeze(scene.camera)
@@ -423,26 +452,29 @@ def main():
     _culled_extras(extras, "config1", culled, culled_s, width, height)
 
     # Config 1 — batched dispatch (render_many): identical frames computed
-    # in ONE device dispatch over the pre-staged camera batch, removing the
-    # per-frame tunnel/dispatch tax. Whichever path is FASTER becomes the
-    # basis of config1_sol_fraction (the chip's throughput capability);
-    # both frame times are reported, and frame_ms_culled remains the
-    # interactive per-dispatch time.
-    best_batched = culled_s
-    try:
-        if _budget_left() < 440:
-            # A congested link already ate the margin; the batched number
-            # is a secondary diagnostic — yield its ~30-60 s to the
-            # never-yet-captured configs downstream.
-            raise TimeoutError("skipped on budget")
-        imgs, counts = culled.render_many(cams)
+    # in ONE device dispatch over a 16-pose HOST camera batch. Round-5
+    # finding: the old per-call jnp.stack of the cameras cost 107 ms of
+    # tunneled micro-dispatches (the round-4 "batched slower than
+    # per-dispatch" mystery); with host-side stacking + K=16 the batch
+    # amortizes the dispatch tax to <0.4 ms/frame.
+    def bench_many(r, cams_host):
+        imgs, counts = r.render_many(cams_host)
         jax.block_until_ready(imgs)
         reps, t0 = 3, time.perf_counter()
         for _ in range(reps):
-            imgs, counts = culled.render_many(cams)
+            imgs, counts = r.render_many(cams_host)
         jax.block_until_ready(imgs)
-        batched_s = (time.perf_counter() - t0) / (reps * len(cams))
-        cnp = np.asarray(counts)                 # (K, n_counts)
+        s = (time.perf_counter() - t0) / (reps * len(cams_host))
+        return s, np.asarray(counts)
+
+    poses16 = animation.orbit_camera_path(scene.camera, 16, radius=6.0,
+                                          revolutions=0.05)
+    cams16 = [p.to_arrays() for p in poses16]       # HOST arrays
+    best_batched = culled_s
+    try:
+        if _budget_left() < 380:
+            raise TimeoutError("skipped on budget")
+        batched_s, cnp = bench_many(culled, cams16)
         extras["frame_ms_batched"] = round(batched_s * 1e3, 3)
         if batched_s < culled_s:
             _culled_extras(extras, "config1", culled, batched_s, width,
@@ -452,6 +484,27 @@ def main():
             best_batched = batched_s
     except Exception as e:
         extras["config1_batched_error"] = repr(e)[:200]
+
+    # Config 1 — the ADOPTED leaf-size policy (block 64): ~45% fewer
+    # scheduled pairs for the same image, measured faster at every config
+    # below 1M tris. Reported with its own SOL (a smaller work volume over
+    # mostly-fixed overheads yields a lower fraction — that is a work
+    # REDUCTION, not an efficiency loss).
+    try:
+        if _budget_left() < 340:
+            raise TimeoutError("skipped on budget")
+        culled64 = CulledRenderer(scene, width, height, block_size="auto")
+        culled64.render(scene.camera, block=True)
+        culled64.freeze(scene.camera)
+        batched64_s, cnp64 = bench_many(culled64, cams16)
+        extras["frame_ms_batched_bs64"] = round(batched64_s * 1e3, 3)
+        _culled_extras(extras, "config1_bs64", culled64, batched64_s,
+                       width, height,
+                       cells=(float(cnp64[:, culled64.n_levels - 1].mean()),
+                              float(cnp64[:, -1].mean())))
+        best_batched = min(best_batched, batched64_s)
+    except Exception as e:
+        extras["config1_bs64_error"] = repr(e)[:200]
 
     def headline(best_s):
         mrays = width * height / best_s / 1e6

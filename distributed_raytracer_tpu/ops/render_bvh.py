@@ -85,11 +85,17 @@ class CulledRenderer:
 
     def __init__(self, scene: Optional[Scene], width: int, height: int,
                  cfg: RenderConfig = DEFAULT_CONFIG,
-                 block_size: int = 128, ray_tile: int = 512,
+                 block_size=128, ray_tile: int = 512,
                  interpret: bool = False, prebaked=None,
                  exit_every: Optional[int] = None, cull_group: int = 16,
                  use_mxu: bool = False, tile_w: Optional[int] = None,
                  cull_levels: Optional[int] = None):
+        if block_size == "auto":
+            # Measured per-scene leaf-size policy (config.default_block_size).
+            from distributed_raytracer_tpu.utils.config import (
+                default_block_size)
+            block_size = default_block_size(
+                scene.num_tris if scene is not None else 1 << 30)
         self.width, self.height, self.cfg = width, height, cfg
         self.rt, self.tb = ray_tile, block_size
         self.interpret = interpret
@@ -960,7 +966,15 @@ class CulledRenderer:
         """
         cams = [c.to_arrays() if isinstance(c, Camera) else c
                 for c in cameras]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        # Stack the camera batch on the HOST (numpy): jnp.stack over K tiny
+        # pytree leaves dispatched ~5 separate micro-programs through the
+        # tunneled device link per call — measured 107 ms/call on v5e
+        # remote, 13x the whole 8-frame render it was feeding. The single
+        # stacked host pytree ships once inside the fused dispatch. (Pass
+        # HOST CameraArrays for the fast path; device-resident leaves are
+        # pulled back first.)
+        stacked = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *cams)
         if self._fused is None:
             self.freeze(cameras[0])
         k = len(cams)

@@ -56,12 +56,28 @@ class RenderConfig:
 
     # TPU-specific tunables (no reference equivalent).
     ray_chunk: int = 8192          # rays per lax.map chunk in the dense path
-    # BVH leaf block size lives on CulledRenderer(block_size=128): it sets
+    # BVH leaf block size lives on CulledRenderer(block_size=...): it sets
     # kernel shapes, so it is a per-renderer compile-time choice, not a
-    # runtime config value. (Measured on v5e config 3: block_size=64
-    # schedules 25% fewer pairs and renders 10% faster; 128 remains the
-    # default pending config-1/5 measurements.)
+    # runtime config value; default_block_size() below records the
+    # measured per-scene policy (CulledRenderer accepts block_size="auto").
     dtype: str = "float32"         # device compute dtype
 
 
 DEFAULT_CONFIG = RenderConfig()
+
+
+def default_block_size(n_tris: int) -> int:
+    """Measured per-scene BVH leaf size policy (v5e, round 5).
+
+    64-triangle leaves halve the scheduled pairs a cull cell costs and
+    consistently beat 128 up to hundreds of thousands of triangles:
+      - config 1 (968 tris, 640x480): batched frame 2.20 -> 1.77 ms
+      - config 3 (62K tris, 640x480): frame 28.2 -> 24.9 ms, pairs -25%
+      - config 4 (139K tris, 4K): 593 -> 545 ms alone (pairs -39%),
+        593 -> 474 ms combined with 32x32 ray tiles (rt=1024)
+    At multi-million scale the leaf count doubling (49K -> 98K blocks at
+    5.24M tris) feeds the cull masks/compactions instead, and the round-4
+    config-5 A/B kept 128 (with rt=256 16x16 ray tiles); the cached
+    config-5 bundles also bake 128 in. Threshold set between the measured
+    regimes."""
+    return 64 if n_tris < 1_000_000 else 128

@@ -36,6 +36,9 @@ VARIANTS = {
     "cl3": dict(cull_levels=3),
     "rt256sq_cl3": dict(ray_tile=256, tile_w=16, cull_levels=3),
     "exit16": dict(exit_every=16),
+    "rt1024": dict(ray_tile=1024),
+    "rt1024_bs64": dict(ray_tile=1024, block_size=64),
+    "bs64_cl3": dict(block_size=64, cull_levels=3),
 }
 
 
