@@ -175,7 +175,10 @@ def main(argv=None) -> int:
             _dk[0] += 1
             return dyn.render_dynamic(c, d, verify=(_dk[0] % 8 == 1))
     elif args.mode == "culled":
-        culled = CulledRenderer(scene, w, h, interpret=interpret)
+        # block_size="auto": the measured per-scene leaf policy
+        # (utils/config.default_block_size).
+        culled = CulledRenderer(scene, w, h, interpret=interpret,
+                                block_size="auto")
         if args.bounces:
             bounced = culled.freeze_bounced(scene.camera, args.bounces)
             render = lambda cam: bounced(cam.to_arrays())
