@@ -13,8 +13,11 @@ assembly) run across one:
   dense                row-sharded dense sweep (the original proof)
   sharded-bvh          per-band cull + BSR work lists, geometry replicated
   sharded-bvh-balanced cost-balanced band heights
+  sharded-bvh-bounced  the band pipeline with depth-1 reflection bounces
   halo                 geometry block-partitioned, rays exchanged
                        (all_to_all/all_gather across the process boundary)
+  ring                 geometry rotated across the process boundary
+                       (ppermute inside lax.scan over DCN)
 """
 
 import os
@@ -83,11 +86,29 @@ def main() -> int:
             frame = np.concatenate(parts, axis=0)[:h]
         else:
             frame = full[:h]
+    elif mode == "sharded-bvh-bounced":
+        from distributed_raytracer_tpu.parallel import render_sharded_bvh
+
+        mesh = multihost.global_mesh(render_sharded_bvh.AXIS)
+        r = render_sharded_bvh.make_sharded_bounced_renderer(
+            scene, w, h, 1, mesh=mesh, interpret=True)
+        out, _ = r.device_fn(scene.camera.to_arrays())
+        full = multihost.gather_frame(out)
+        frame = full[:h] if full is not None else None
     elif mode == "halo":
         from distributed_raytracer_tpu.parallel import halo_bvh
 
         mesh = multihost.global_mesh(halo_bvh.AXIS)
         r = halo_bvh.HaloCulledRenderer(scene, w, h, mesh=mesh,
+                                        interpret=True)
+        rows, _ = r.device_fn(scene.camera.to_arrays())
+        full = multihost.gather_frame(rows)
+        frame = r._assemble(full) if full is not None else None
+    elif mode == "ring":
+        from distributed_raytracer_tpu.parallel import ring_bvh
+
+        mesh = multihost.global_mesh(ring_bvh.AXIS)
+        r = ring_bvh.RingCulledRenderer(scene, w, h, mesh=mesh,
                                         interpret=True)
         rows, _ = r.device_fn(scene.camera.to_arrays())
         full = multihost.gather_frame(rows)

@@ -141,6 +141,7 @@ def _single_process_reference(scene_path):
     ("sharded-bvh-balanced", 2),
     ("halo", 2),
     pytest.param("halo", 4, marks=pytest.mark.slow),
+    pytest.param("ring", 2, marks=pytest.mark.slow),
 ])
 def test_production_paths_cross_process(scene_path, tmp_path, mode, nproc):
     """The PRODUCTION schedules across REAL process boundaries: Pallas
@@ -152,4 +153,22 @@ def test_production_paths_cross_process(scene_path, tmp_path, mode, nproc):
     dense row shard."""
     got = _run_workers(scene_path, tmp_path, mode, nproc)
     want = _single_process_reference(scene_path)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_bounced_bands_cross_process(scene_path, tmp_path):
+    """Reflection bounces on the band pipeline across a real process
+    boundary: host-0's frame equals the single-process replicated bounced
+    render (the per-bounce Pallas work lists and the framebuffer gather
+    both cross the boundary)."""
+    import jax
+
+    from distributed_raytracer_tpu.models.scene import load_scene
+    from distributed_raytracer_tpu.ops.render import render_frame_bounced
+
+    got = _run_workers(scene_path, tmp_path, "sharded-bvh-bounced", 2)
+    scene = load_scene(scene_path)
+    want = np.asarray(render_frame_bounced(
+        jax.device_put(scene.bake()), scene.camera.to_arrays(), 48, 36, 1))
     np.testing.assert_allclose(got, want, atol=2e-5)
