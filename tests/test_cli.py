@@ -152,3 +152,18 @@ def test_cli_sharded_bvh_balanced(scene_path):
                    "--animation", "none", "--devices", "4"])
     assert res.returncode == 0, res.stderr[-2000:]
     assert "Mean FPS" in res.stdout
+
+
+def test_cli_ring_bounces_and_animate(scene_path):
+    """The round-5 ring capabilities from the CLI: comm-free reflection
+    bounces, and per-frame object diffs composed with them."""
+    res = run_cli([scene_path, "48", "36", "--mode", "ring",
+                   "--bounces", "1", "--frames", "2", "--fps-target", "0",
+                   "--animation", "none"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Mean FPS" in res.stdout
+    res = run_cli([scene_path, "48", "36", "--mode", "ring",
+                   "--animate-objects", "--bounces", "1", "--frames", "2",
+                   "--fps-target", "0", "--animation", "none"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Mean FPS" in res.stdout
