@@ -75,9 +75,10 @@ def default_block_size(n_tris: int) -> int:
       - config 3 (62K tris, 640x480): frame 28.2 -> 24.9 ms, pairs -25%
       - config 4 (139K tris, 4K): 593 -> 545 ms alone (pairs -39%),
         593 -> 474 ms combined with 32x32 ray tiles (rt=1024)
-    At multi-million scale the leaf count doubling (49K -> 98K blocks at
-    5.24M tris) feeds the cull masks/compactions instead, and the round-4
-    config-5 A/B kept 128 (with rt=256 16x16 ray tiles); the cached
-    config-5 bundles also bake 128 in. Threshold set between the measured
-    regimes."""
+    At multi-million scale the trade inverts — MEASURED round 5 with a
+    fresh 64-leaf bake of the 5.24M-tri icosphere: 195 -> 223 ms (+14%)
+    despite -13% pairs; 94K leaf blocks double the cull/compaction work
+    and tb=64 halves per-DMA kernel efficiency, so 128 stays the
+    multi-million default (with rt=256 16x16 ray tiles per the round-4
+    A/B). Threshold set between the measured regimes."""
     return 64 if n_tris < 1_000_000 else 128
