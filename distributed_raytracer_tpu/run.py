@@ -283,6 +283,13 @@ def main(argv=None) -> int:
         tick = time.monotonic()
         timer.frame_issued()
         img = render_k(k, cam) if render_k is not None else render(cam)
+        if args.out and not args.multihost and isinstance(img, jax.Array):
+            # u8 conversion ON DEVICE before the host pull: the PNG export
+            # needs u8 anyway (colour.go:59-61's truncation) and the wire
+            # then carries 1 byte/channel instead of a float32 — on a
+            # tunneled chip the f32 frame transfer, not the render,
+            # bounded the export loop (measured 2.3 FPS at 640x480).
+            img = framebuffer.to_u8_device(img)
         # Frame assembly: host 0 gathers in multihost mode (the coordinator
         # painting worker tiles, master/main.go:163-177); None elsewhere.
         img_np = (multihost.gather_frame(img) if args.multihost
